@@ -1,0 +1,18 @@
+"""Root conftest: force tests onto a virtual 8-device CPU mesh before any
+test imports jax (SURVEY.md §4). Loaded by pytest before tests/conftest.py."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass

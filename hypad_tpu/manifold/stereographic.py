@@ -1,0 +1,220 @@
+"""kappa-stereographic (Poincare ball for k<0) gyrovector math, TPU-native.
+
+This is the numerical core of HypAD-TPU (layer L0 of the framework). The
+*behavior* spec is the kappa-stereographic math of geoopt 0.5.0 as vendored by
+the reference repo in ``math_.py`` (see reference ``math_.py:51-59`` for the
+tanh/artanh clamp schedule, ``:340-352`` project, ``:381-383`` lambda_x,
+``:536-555`` mobius_add, ``:657-676`` gyration, ``:892-902`` dist,
+``:1132-1136`` expmap0, ``:1267-1270`` logmap0, ``:1307-1323`` mobius_matvec,
+``:1739-1745`` parallel transport, ``:1843-1845`` egrad2rgrad). The
+*implementation* is new: pure jnp in float32, jit/vmap/grad-transformable, with
+every stability clamp reproduced exactly so boundary numerics match the
+reference bit-for-bit in f32.
+
+Conventions:
+  * curvature ``k`` is a python float or scalar array, k < 0 for the
+    hyperbolic ball (HypAD always uses k = -1.0).
+  * all ops reduce over the last axis (``dim=-1`` in the reference).
+  * computations are carried out in the input dtype; HypAD uses float32
+    (reference forces fp32 in MobiusLinear, ``hyperspace/hyrnn_nets.py:186-191``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# -- stability constants (reference math_.py clamp table) --------------------
+TANH_CLAMP = 15.0          # math_.py:51-53
+ARTANH_EPS = 1e-7          # math_.py:56-59
+NORM_FLOOR = 1e-15         # clamp_min floor used throughout
+PROJECT_EPS_F32 = 4e-3     # math_.py:346-349 (fp32 branch)
+PROJECT_EPS_F64 = 1e-5
+ACOSH_EPS = 1e-7           # train.py:229 fudge inside acosh
+
+
+def _last_norm(x, keepdims=True):
+    """L2 norm over the last axis, floored at NORM_FLOOR like ``clamp_min``."""
+    return jnp.maximum(
+        jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=keepdims)), NORM_FLOOR
+    )
+
+
+def tanh(x):
+    """tanh with +-15 pre-clamp (math_.py:51-53)."""
+    return jnp.tanh(jnp.clip(x, -TANH_CLAMP, TANH_CLAMP))
+
+
+def artanh(x):
+    """artanh with input clamped to (-1+1e-7, 1-1e-7) (math_.py:56-59)."""
+    x = jnp.clip(x, -1.0 + ARTANH_EPS, 1.0 - ARTANH_EPS)
+    return 0.5 * (jnp.log1p(x) - jnp.log1p(-x))
+
+
+def tan_k(x, k=-1.0):
+    """tan_kappa; only the k<0 branch is exercised by HypAD (math_.py:217-244)."""
+    k = jnp.asarray(k, dtype=jnp.result_type(x))
+    sqrt_abs_k = jnp.sqrt(jnp.abs(k))
+    return tanh(x * sqrt_abs_k) / sqrt_abs_k
+
+
+def artan_k(x, k=-1.0):
+    """artan_kappa, k<0 branch (math_.py:247-274)."""
+    k = jnp.asarray(k, dtype=jnp.result_type(x))
+    sqrt_abs_k = jnp.sqrt(jnp.abs(k))
+    return artanh(x * sqrt_abs_k) / sqrt_abs_k
+
+
+def project(x, k=-1.0, eps=None):
+    """Clip points to the open ball of radius (1-eps)/sqrt(|k|) (math_.py:340-352)."""
+    if eps is None:
+        eps = PROJECT_EPS_F32 if x.dtype == jnp.float32 else PROJECT_EPS_F64
+    k = jnp.asarray(k, dtype=x.dtype)
+    maxnorm = (1.0 - eps) / jnp.sqrt(jnp.abs(k))
+    norm = _last_norm(x)
+    return jnp.where(norm > maxnorm, x / norm * maxnorm, x)
+
+
+def lambda_x(x, k=-1.0, keepdims=False):
+    """Conformal factor 2 / (1 + k ||x||^2), floored (math_.py:381-383)."""
+    k = jnp.asarray(k, dtype=x.dtype)
+    sq = jnp.sum(x * x, axis=-1, keepdims=keepdims)
+    return 2.0 / jnp.maximum(1.0 + k * sq, NORM_FLOOR)
+
+
+def mobius_add(x, y, k=-1.0):
+    """Mobius gyrovector addition x (+)_k y (math_.py:536-555)."""
+    k = jnp.asarray(k, dtype=jnp.result_type(x, y))
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    y2 = jnp.sum(y * y, axis=-1, keepdims=True)
+    xy = jnp.sum(x * y, axis=-1, keepdims=True)
+    num = (1.0 - 2.0 * k * xy - k * y2) * x + (1.0 + k * x2) * y
+    denom = 1.0 - 2.0 * k * xy + (k * k) * x2 * y2
+    return num / jnp.maximum(denom, NORM_FLOOR)
+
+
+def gyration(u, v, w, k=-1.0):
+    """gyr[u, v] w — simplified closed form (math_.py:657-676)."""
+    k = jnp.asarray(k, dtype=jnp.result_type(u, v, w))
+    u2 = jnp.sum(u * u, axis=-1, keepdims=True)
+    v2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    uv = jnp.sum(u * v, axis=-1, keepdims=True)
+    uw = jnp.sum(u * w, axis=-1, keepdims=True)
+    vw = jnp.sum(v * w, axis=-1, keepdims=True)
+    k2 = k * k
+    a = -k2 * uw * v2 - k * vw + 2.0 * k2 * uv * vw
+    b = -k2 * vw * u2 + k * uw
+    d = 1.0 - 2.0 * k * uv + k2 * u2 * v2
+    return w + 2.0 * (a * u + b * v) / jnp.maximum(d, NORM_FLOOR)
+
+
+def expmap0(u, k=-1.0):
+    """Exponential map at the origin (math_.py:1132-1136)."""
+    u_norm = _last_norm(u)
+    return tan_k(u_norm, k) * (u / u_norm)
+
+
+def logmap0(y, k=-1.0):
+    """Logarithmic map at the origin (math_.py:1267-1270)."""
+    y_norm = _last_norm(y)
+    return (y / y_norm) * artan_k(y_norm, k)
+
+
+def expmap(x, u, k=-1.0):
+    """Exponential map at x (math_.py:1097-1103)."""
+    u_norm = _last_norm(u)
+    lam = lambda_x(x, k, keepdims=True)
+    second = tan_k(lam / 2.0 * u_norm, k) * (u / u_norm)
+    return mobius_add(x, second, k)
+
+
+def retr(x, u, k=-1.0):
+    """First-order retraction: project(x + u) — geoopt PoincareBall.retr."""
+    return project(x + u, k)
+
+
+def parallel_transport(x, y, v, k=-1.0):
+    """P_{x->y}(v) = gyr[y, -x] v * lambda_x / lambda_y (math_.py:1739-1745)."""
+    return (
+        gyration(y, -x, v, k)
+        * lambda_x(x, k, keepdims=True)
+        / lambda_x(y, k, keepdims=True)
+    )
+
+
+def mobius_matvec(m, x, k=-1.0):
+    """Mobius matrix-vector multiply with exact zero-vector guard
+    (math_.py:1307-1323). ``m``: (out, in); ``x``: (..., in)."""
+    x_norm = _last_norm(x)
+    mx = x @ m.T
+    mx_norm = _last_norm(mx)
+    res = tan_k(mx_norm / x_norm * artan_k(x_norm, k), k) * (mx / mx_norm)
+    all_zero = jnp.all(mx == 0, axis=-1, keepdims=True)
+    return jnp.where(all_zero, jnp.zeros((), dtype=res.dtype), res)
+
+
+def mobius_pointwise_mul(w, x, k=-1.0):
+    """Mobius pointwise (diagonal-matrix) multiply (math_.py:1361-1372)."""
+    x_norm = _last_norm(x)
+    wx = w * x
+    wx_norm = _last_norm(wx)
+    res = tan_k(wx_norm / x_norm * artan_k(x_norm, k), k) * (wx / wx_norm)
+    all_zero = jnp.all(jnp.isclose(wx, 0.0), axis=-1, keepdims=True)
+    return jnp.where(all_zero, jnp.zeros((), dtype=res.dtype), res)
+
+
+def mobius_fn_apply(fn, x, k=-1.0):
+    """Apply a Euclidean fn in the tangent space at 0 (logmap0 -> fn -> expmap0)."""
+    return project(expmap0(fn(logmap0(x, k)), k), k)
+
+
+def dist(x, y, k=-1.0, keepdims=False):
+    """Geodesic distance 2 artan_k(||(-x) (+) y||) (math_.py:892-902)."""
+    return 2.0 * artan_k(_last_norm(mobius_add(-x, y, k), keepdims=keepdims), k)
+
+
+def dist0(x, k=-1.0, keepdims=False):
+    """Distance to the origin."""
+    return 2.0 * artan_k(_last_norm(x, keepdims=keepdims), k)
+
+
+def dist2plane(x, p, a, k=-1.0, signed=False):
+    """Distance from x to the hyperplane through p with normal a
+    (math_.py:1645-1666; only the k<0 arsin_k branch)."""
+    k = jnp.asarray(k, dtype=x.dtype)
+    diff = mobius_add(-p, x, k)
+    diff_norm2 = jnp.maximum(jnp.sum(diff * diff, axis=-1), NORM_FLOOR)
+    sc_diff_a = jnp.sum(diff * a, axis=-1)
+    if not signed:
+        sc_diff_a = jnp.abs(sc_diff_a)
+    a_norm = jnp.sqrt(jnp.sum(a * a, axis=-1))
+    num = 2.0 * sc_diff_a
+    denom = (1.0 + k * diff_norm2) * a_norm
+    # clamp_abs with eps=1e-15 (math_.py clamp_abs)
+    denom = jnp.sign(denom) * jnp.maximum(jnp.abs(denom), NORM_FLOOR)
+    # arsin_k for k<0 reduces to arsinh(x * sqrt|k|)/sqrt|k|
+    sqrt_abs_k = jnp.sqrt(jnp.abs(k))
+    ratio = num / denom * sqrt_abs_k
+    return jnp.arcsinh(ratio) / sqrt_abs_k
+
+
+def egrad2rgrad(x, grad, k=-1.0):
+    """Euclidean-to-Riemannian gradient: grad / lambda_x^2 (math_.py:1843-1845)."""
+    lam = lambda_x(x, k, keepdims=True)
+    return grad / (lam * lam)
+
+
+def acosh_poincare_distance(u, v, eps=ACOSH_EPS):
+    """The *explicit* Poincare distance used by the reference training loss
+    and detector: acosh(1 + 2 d2 / ((1-||u||^2)(1-||v||^2)) + 1e-7)
+    (reference train.py:226-230, utils/anomaly_detection_utils.py:58-66).
+
+    NOTE: intentionally NOT the same function as :func:`dist` — the reference
+    never uses gmath.dist for the loss, and parity requires this acosh form
+    with its additive 1e-7 fudge and *unclamped* (1 - ||.||^2) denominators.
+    Reduces over the last axis; returns shape ``u.shape[:-1]``.
+    """
+    sqdist = jnp.sum((u - v) ** 2, axis=-1)
+    squnorm = jnp.sum(u * u, axis=-1)
+    sqvnorm = jnp.sum(v * v, axis=-1)
+    x_temp = 1.0 + 2.0 * sqdist / ((1.0 - squnorm) * (1.0 - sqvnorm)) + eps
+    return jnp.arccosh(x_temp)

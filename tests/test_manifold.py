@@ -1,0 +1,162 @@
+"""Unit tests for the kappa-stereographic core (SURVEY.md §4: closed-form
+identities + float64 numpy oracle for the geoopt-0.5.0 formula set)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hypad_tpu.manifold import stereographic as st
+
+jax.config.update("jax_enable_x64", False)
+
+
+# ---- independent float64 numpy oracle (written from the math, not the code) -
+
+def np_mobius_add(x, y, k=-1.0):
+    x2 = np.sum(x * x, -1, keepdims=True)
+    y2 = np.sum(y * y, -1, keepdims=True)
+    xy = np.sum(x * y, -1, keepdims=True)
+    num = (1 - 2 * k * xy - k * y2) * x + (1 + k * x2) * y
+    den = 1 - 2 * k * xy + k * k * x2 * y2
+    return num / np.maximum(den, 1e-15)
+
+
+def np_expmap0(u, k=-1.0):
+    n = np.maximum(np.linalg.norm(u, axis=-1, keepdims=True), 1e-15)
+    return np.tanh(n) * u / n
+
+
+def np_logmap0(y, k=-1.0):
+    n = np.maximum(np.linalg.norm(y, axis=-1, keepdims=True), 1e-15)
+    return np.arctanh(np.clip(n, None, 1 - 1e-7)) * y / n
+
+
+def random_ball_points(rng, shape, scale=0.3):
+    return (rng.standard_normal(shape) * scale / np.sqrt(shape[-1])).astype(
+        np.float32
+    )
+
+
+def test_mobius_add_matches_oracle(rng):
+    x = random_ball_points(rng, (64, 100))
+    y = random_ball_points(rng, (64, 100))
+    got = np.asarray(st.mobius_add(jnp.array(x), jnp.array(y)))
+    want = np_mobius_add(x.astype(np.float64), y.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_expmap0_logmap0_match_oracle(rng):
+    u = rng.standard_normal((32, 20)).astype(np.float32) * 0.5
+    got = np.asarray(st.expmap0(jnp.array(u)))
+    want = np_expmap0(u.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+    y = random_ball_points(rng, (32, 20))
+    got = np.asarray(st.logmap0(jnp.array(y)))
+    want = np_logmap0(y.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_left_cancellation(rng):
+    """(-x) + (x + y) == y  (math_.py:511-515)."""
+    x = random_ball_points(rng, (16, 10))
+    y = random_ball_points(rng, (16, 10))
+    out = st.mobius_add(-jnp.array(x), st.mobius_add(jnp.array(x), jnp.array(y)))
+    np.testing.assert_allclose(np.asarray(out), y, rtol=1e-4, atol=1e-5)
+
+
+def test_expmap0_logmap0_inverse(rng):
+    y = random_ball_points(rng, (16, 10))
+    out = st.expmap0(st.logmap0(jnp.array(y)))
+    np.testing.assert_allclose(np.asarray(out), y, rtol=1e-4, atol=1e-6)
+
+
+def test_project_clips_to_ball(rng):
+    x = rng.standard_normal((8, 5)).astype(np.float32) * 10
+    out = np.asarray(st.project(jnp.array(x)))
+    norms = np.linalg.norm(out, axis=-1)
+    assert np.all(norms <= 1.0 - 4e-3 + 1e-6)
+    # points already inside are untouched
+    inside = random_ball_points(rng, (8, 5))
+    np.testing.assert_array_equal(np.asarray(st.project(jnp.array(inside))), inside)
+
+
+def test_mobius_matvec_zero_guard():
+    m = jnp.zeros((4, 4), jnp.float32)
+    x = jnp.full((2, 4), 0.1, jnp.float32)
+    out = np.asarray(st.mobius_matvec(m, x))
+    np.testing.assert_array_equal(out, np.zeros((2, 4), np.float32))
+
+
+def test_mobius_matvec_identity(rng):
+    """Identity matrix -> identity map on the ball (up to f32 eps)."""
+    x = random_ball_points(rng, (8, 6))
+    out = np.asarray(st.mobius_matvec(jnp.eye(6), jnp.array(x)))
+    np.testing.assert_allclose(out, x, rtol=1e-4, atol=1e-6)
+
+
+def test_dist_vs_acosh_formula(rng):
+    """gmath-style dist and the explicit acosh distance agree analytically
+    (up to the 1e-7 fudge the reference adds inside acosh)."""
+    u = random_ball_points(rng, (32, 10), scale=0.2)
+    v = random_ball_points(rng, (32, 10), scale=0.2)
+    d1 = np.asarray(st.dist(jnp.array(u), jnp.array(v)))
+    d2 = np.asarray(st.acosh_poincare_distance(jnp.array(u), jnp.array(v)))
+    np.testing.assert_allclose(d1, d2, rtol=1e-2, atol=5e-3)
+
+
+def test_acosh_distance_matches_reference_formula(rng):
+    """Bit-level spec of train.py:226-230 in float64."""
+    u = random_ball_points(rng, (16, 100)).astype(np.float64)
+    v = random_ball_points(rng, (16, 100)).astype(np.float64)
+    sqdist = np.sum((u - v) ** 2, -1)
+    squ = np.sum(u * u, -1)
+    sqv = np.sum(v * v, -1)
+    want = np.arccosh(1 + 2 * sqdist / ((1 - squ) * (1 - sqv)) + 1e-7)
+    got = np.asarray(
+        st.acosh_poincare_distance(
+            jnp.array(u, jnp.float32), jnp.array(v, jnp.float32)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_parallel_transport_preserves_norm_at_origin(rng):
+    """Transport 0 -> y is v * lambda_0/lambda_y * gyr[y,0] = v*2/lambda_y;
+    check against parallel_transport0 closed form (math_.py:1776-1780)."""
+    y = random_ball_points(rng, (8, 6))
+    v = rng.standard_normal((8, 6)).astype(np.float32)
+    got = np.asarray(st.parallel_transport(jnp.zeros((8, 6)), jnp.array(y), jnp.array(v)))
+    lam_y = 2.0 / (1.0 - np.sum(y * y, -1, keepdims=True))
+    want = v * 2.0 / lam_y
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_egrad2rgrad(rng):
+    x = random_ball_points(rng, (4, 3))
+    g = rng.standard_normal((4, 3)).astype(np.float32)
+    got = np.asarray(st.egrad2rgrad(jnp.array(x), jnp.array(g)))
+    lam = 2.0 / (1.0 - np.sum(x * x, -1, keepdims=True))
+    np.testing.assert_allclose(got, g / lam**2, rtol=1e-4, atol=1e-6)
+
+
+def test_gradients_flow():
+    """Manifold ops must be differentiable (training depends on it)."""
+    def loss(u, v):
+        pu = st.project(st.expmap0(u))
+        pv = st.project(st.expmap0(v))
+        return jnp.sum(st.acosh_poincare_distance(pu, pv))
+
+    u = jnp.full((4, 10), 0.05, jnp.float32)
+    v = jnp.full((4, 10), -0.03, jnp.float32)
+    g = jax.grad(loss)(u, v)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_dist2plane_finite(rng):
+    x = random_ball_points(rng, (8, 1, 6))
+    p = random_ball_points(rng, (4, 6))
+    a = rng.standard_normal((4, 6)).astype(np.float32)
+    out = np.asarray(st.dist2plane(jnp.array(x), jnp.array(p), jnp.array(a), signed=True))
+    assert out.shape == (8, 4)
+    assert np.all(np.isfinite(out))
