@@ -1,0 +1,140 @@
+"""CLI entry points (layer L6).
+
+Mirrors the reference surface:
+  * ``python -m hypad_tpu.cli train  --config cfg.yaml``  == reference
+    ``python main.py --config cfg.yaml`` (train + detect, main.py:14-70)
+  * ``python -m hypad_tpu.cli detect --config cfg.yaml``  == reference
+    ``python anomaly_detection.py --config cfg.yaml`` (detect from saved
+    checkpoints, anomaly_detection.py:158-243; supports ``resume`` /
+    ``resume_epoch`` to score a specific epoch's checkpoint)
+  * invoking without a subcommand behaves like ``train`` (the reference's
+    single-entry style).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def _build(params):
+    from hypad_tpu.data.registry import dataset_selection
+    from hypad_tpu.utils.config import run_dir
+
+    path = run_dir(params)
+    train_data, test_data, read_path = dataset_selection(
+        params, cache_dir=path)
+    return train_data, test_data, read_path, path
+
+
+def _init_models(params):
+    from hypad_tpu.models.tadgan import init_tadgan
+
+    signal_shape = params.signal_shape
+    return init_tadgan(jax.random.PRNGKey(params.seed),
+                       signal_shape=signal_shape,
+                       hyperbolic=params.hyperbolic)
+
+
+def cmd_train(params, config_path):
+    from hypad_tpu.parallel.mesh import make_mesh
+    from hypad_tpu.train import trainer as tr
+    from hypad_tpu.utils import checkpoint as ck
+
+    train_data, test_data, read_path, path = _build(params)
+    ck.snapshot_config(path, config_path)
+
+    mesh = make_mesh(params.devices)
+    model_params = _init_models(params)
+    state = tr.init_train_state(model_params, lr=params.lr,
+                                hyperbolic=params.hyperbolic)
+
+    start_epoch = 0
+    if params.resume:
+        # working resume (the reference's is a NameError, train.py:400-404)
+        tag = ck.latest_epoch_tag(path)
+        if tag is not None:
+            state = ck.restore_state(path, tag)
+            start_epoch = tag
+            print(f"resumed from epoch {tag}")
+
+    def log_cb(epoch, m):
+        rec_name = "Hyperbolic loss" if params.hyperbolic else "Eucl mse loss"
+        print(f"Encoder decoder training done in epoch {epoch - 1}")
+        print(f"{rec_name} {m['rec_loss']:.6f}")
+        print(f"critic x loss {m['critic_x_loss']:.3f} "
+              f"critic z loss {m['critic_z_loss']:.3f} \n"
+              f"decoder loss {m['decoder_loss']:.3f}\n")
+
+    t0 = time.time()
+    state = tr.train_tadgan(
+        state, train_data.X, lr=params.lr, hyperbolic=params.hyperbolic,
+        batch_size=params.batch_size, n_epochs=params.epochs,
+        seed=params.seed, mesh=mesh, start_epoch=start_epoch,
+        log_cb=log_cb,
+        checkpoint_cb=lambda e, s: ck.save_state(path, s, e),
+    )
+    wall = time.time() - t0
+    trained = max(params.epochs - start_epoch, 1)
+    print(f"training wall-clock: {wall:.2f}s "
+          f"({wall / trained:.3f}s/epoch)")
+    ck.save_state(path, state, "final")
+
+    _run_detection(params, state.params, test_data, path, read_path)
+    return state, path
+
+
+def _run_detection(params, model_params, test_data, path, read_path):
+    from hypad_tpu.detect.detector import detect
+
+    t0 = time.time()
+    result = detect(params, model_params, test_data, path,
+                    read_path=read_path)
+    wall = time.time() - t0
+    n_windows = len(test_data.X)
+    print(f"detection wall-clock: {wall:.2f}s "
+          f"({n_windows / wall:.1f} windows/sec)")
+    if result["metrics"] is None:
+        print("no anomalous intervals predicted (or no ground truth)")
+    return result
+
+
+def cmd_detect(params, config_path):
+    from hypad_tpu.utils import checkpoint as ck
+
+    train_data, test_data, read_path, path = _build(params)
+    tag = params.resume_epoch if params.resume else "final"
+    if params.resume:
+        print(f"resuming epoch: {params.resume_epoch}")
+    state = ck.restore_state(path, tag)
+    return _run_detection(params, state.params, test_data, path, read_path)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    command = "train"
+    if argv and argv[0] in ("train", "detect"):
+        command = argv.pop(0)
+
+    parser = argparse.ArgumentParser(description="HypAD-TPU")
+    parser.add_argument("-c", "--config", type=str, required=True)
+    args = parser.parse_args(argv)
+
+    from hypad_tpu.utils.config import load_config
+
+    params = load_config(args.config)
+    print(f"dataset: {params.dataset}, signal: {params.signal}")
+    print(params)
+
+    if command == "train":
+        cmd_train(params, args.config)
+    else:
+        cmd_detect(params, args.config)
+
+
+if __name__ == "__main__":
+    main()

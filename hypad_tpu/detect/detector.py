@@ -1,0 +1,150 @@
+"""Detector orchestration (layer L5 top): inference -> scores -> intervals
+-> metrics -> reports.
+
+Behavior spec: reference ``test_tadgan`` (anomaly_detection.py:20-155) +
+``univariate_anomaly_detection`` (utils/anomaly_detection_utils.py:21-126) +
+``multivariate_anomaly_detection`` (:129-222):
+
+  * ground truth: Yahoo known-anomalies CSV / data/anomalies.csv loader /
+    multivariate tensor labels;
+  * batched eval forward collecting reconstructions + critic scores
+    (+ MobiusLinear-embedded inputs when hyperbolic);
+  * artifact save/reload gated on ``params.load``;
+  * scoring per SURVEY §3.4, intervals via find_anomalies (0.33/0.1 windows
+    univariate with fixed threshold; 0.2/0.1 and padding 200 multivariate);
+  * contextual confusion matrix + metric prints; optional cumulative results
+    CSV ./results/{filename} with columns signal,tn,fp,fn,tp (:115-126).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from hypad_tpu.data.pipeline import load_anomalies
+from hypad_tpu.detect import intervals as iv
+from hypad_tpu.detect import metrics as mt
+from hypad_tpu.detect import scorer as sc
+from hypad_tpu.utils import artifacts
+
+
+def detect(params, state_params, test_data, run_path, read_path="",
+           known_anomalies=None, save_plots=False):
+    """Full detection pass. Returns a result dict with scores, intervals and
+    metrics (None metrics when no ground truth / no predictions)."""
+    os.makedirs(run_path, exist_ok=True)
+
+    # ---- ground truth (anomaly_detection.py:31-37)
+    if known_anomalies is None:
+        if params.signal == "multivariate":
+            known_anomalies = _multivariate_ground_truth(test_data)
+        elif params.dataset in ("A1", "A2", "A3", "A4"):
+            known_anomalies = test_data.known_anomalies
+        else:
+            known_anomalies = load_anomalies(params.signal, params.data_root)
+
+    # ---- inference (cached when params.load; anomaly_detection.py:53-61)
+    cached = artifacts.load_inference(run_path) if params.load else None
+    if cached is not None:
+        inference, true_index = cached
+    else:
+        inference = sc.run_inference(state_params, test_data.X,
+                                     params.hyperbolic)
+        # the reference's true_index is the FULL aggregated timeline
+        # (SignalDataset.index, anomaly_detection.py:133 via __getitem__'s
+        # second element), length n_buckets = N + W — it must cover all
+        # T = N + W - 1 unrolled score positions, not just window starts
+        true_index = np.asarray(test_data.index)
+        artifacts.save_inference(run_path, inference, true_index)
+
+    # ---- scores
+    if params.signal == "multivariate":
+        final_scores = sc.score_anomalies_multivariate(
+            inference, params.combination, params.hyperbolic)
+        intervals = iv.find_anomalies(
+            np.asarray(final_scores).reshape(-1), np.arange(len(final_scores)),
+            window_size_portion=0.2, window_step_size_portion=0.1,
+            fixed_threshold=True, anomaly_padding=200)
+    else:
+        if params.hyperbolic:
+            final_scores = sc.score_anomalies_hyperbolic(
+                inference, params.combination)
+        else:
+            final_scores = sc.score_anomalies_euclidean(
+                inference.true_signal, inference.recons_signal,
+                inference.critic_score, rec_error_type=params.rec_error,
+                comb=_euclidean_comb(params.combination))
+        intervals = iv.find_anomalies(
+            np.asarray(final_scores).reshape(-1), true_index,
+            window_size_portion=0.33, window_step_size_portion=0.1,
+            fixed_threshold=True)
+
+    # ---- metrics (reference wraps in try/except: empty predictions -> zeros)
+    result = {
+        "scores": np.asarray(final_scores),
+        "intervals": intervals,
+        "confusion": (0, 0, 0, 0),
+        "metrics": None,
+    }
+    pred_anomalies = (pd.DataFrame(intervals,
+                                   columns=["start", "end", "score"])
+                      if len(intervals) else
+                      pd.DataFrame(columns=["start", "end", "score"]))
+    pred_anomalies.to_csv(os.path.join(run_path, "anomalies.csv"))
+    try:
+        confusion = mt.contextual_confusion_matrix(
+            known_anomalies, pred_anomalies, weighted=False)
+        metrics = mt.compute_metrics(known_anomalies, pred_anomalies)
+        result["confusion"] = confusion
+        result["metrics"] = metrics
+    except Exception:
+        result["confusion"] = [0, 0, 0, 0]
+
+    # ---- cumulative results CSV (:115-126)
+    if params.save_result:
+        _append_results_csv(params, result["confusion"])
+
+    if save_plots:
+        from hypad_tpu.utils.plotting import plot_anomaly_intervals
+
+        plot_anomaly_intervals(
+            [pred_anomalies] + ([known_anomalies]
+                                if known_anomalies is not None and
+                                len(known_anomalies) else []),
+            true_index if params.signal != "multivariate"
+            else np.arange(len(final_scores)),
+            np.asarray(final_scores), run_path)
+
+    return result
+
+
+def _euclidean_comb(combination):
+    """The euclidean score_anomalies only knows mult/sum/rec/critic
+    (:553-570); richer modes are hyperbolic-only."""
+    return combination if combination in ("mult", "sum", "rec", "critic") \
+        else "mult"
+
+
+def _multivariate_ground_truth(test_data):
+    y = getattr(test_data, "y", None)
+    if y is None:
+        return pd.DataFrame(columns=["start", "end"])
+    y = np.asarray(y).reshape(-1)[: len(test_data.X)]
+    from hypad_tpu.data.pipeline import extract_known_anomalies
+
+    return extract_known_anomalies(y, np.arange(len(y)))
+
+
+def _append_results_csv(params, confusion):
+    results_dir = os.path.join(params.output_root, "results")
+    os.makedirs(results_dir, exist_ok=True)
+    file_place = os.path.join(results_dir, params.filename or "results.csv")
+    if os.path.isfile(file_place):
+        res = pd.read_csv(file_place)
+    else:
+        res = pd.DataFrame(columns=["signal", "tn", "fp", "fn", "tp"])
+    if params.signal not in list(res["signal"]):
+        res.loc[len(res)] = [params.signal] + list(confusion)
+        res.to_csv(file_place, index=False)

@@ -1,0 +1,121 @@
+"""Evaluation: contextual (interval-overlap) confusion matrix and metrics.
+
+Behavior spec: reference ``contextual_confusion_matrix(weighted=False)``
+(utils/anomaly_detection_utils.py:606-654) with ``_overlap_segment``
+(:579-599): each ground-truth interval is a TP if any predicted interval
+overlaps it (strict product test, :301-304), else FN; predictions matched to
+no ground truth are FPs; intervals are end-padded by +1 (:602-603); TN is
+undefined (None). ``compute_metrics`` (:241-254) prints
+precision/recall/F1/gmean.
+
+The reference's ``weighted=True`` path calls two functions that do not exist
+anywhere in the repo (``_weighted_segment``/``_contextual_partition`` — a
+latent NameError, :634-635); here it raises ``NotImplementedError``
+explicitly with the same effective behavior, documented instead of silently
+"fixed" (SURVEY.md "bugs to preserve-or-document").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _overlap(expected, observed):
+    first = expected[0] - observed[1]
+    second = expected[1] - observed[0]
+    return first * second < 0
+
+
+def _pad(intervals):
+    return [(part[0], part[1] + 1) for part in intervals]
+
+
+def _overlap_segment(expected, observed):
+    tp, fp, fn = 0, 0, 0
+    observed_copy = list(observed)
+    for expected_seq in expected:
+        found = False
+        for observed_seq in observed:
+            if _overlap(expected_seq, observed_seq):
+                if not found:
+                    tp += 1
+                    found = True
+                if observed_seq in observed_copy:
+                    observed_copy.remove(observed_seq)
+        if not found:
+            fn += 1
+    fp += len(observed_copy)
+    return None, fp, fn, tp
+
+
+def contextual_confusion_matrix(expected, observed, data=None, start=None,
+                                end=None, weighted=False):
+    """Returns (tn, fp, fn, tp); tn is always None for the overlap method."""
+    if weighted:
+        raise NotImplementedError(
+            "weighted segment evaluation is not implemented (the reference's "
+            "weighted=True path NameErrors on undefined helpers, "
+            "utils/anomaly_detection_utils.py:634-635)"
+        )
+    if data is not None:
+        start = data["timestamp"].min()
+        end = data["timestamp"].max()
+    if not isinstance(expected, list):
+        expected = list(expected[["start", "end"]].itertuples(index=False))
+    if not isinstance(observed, list):
+        observed = list(observed[["start", "end"]].itertuples(index=False))
+    expected = _pad(expected)
+    observed = _pad(observed)
+    return _overlap_segment(expected, observed)
+
+
+def compute_metrics(known_anomalies, pred_anomalies, verbose=True):
+    """Precision/recall/F1/gmean from the overlap confusion matrix
+    (reference compute_metrics, :241-254). Returns a dict; raises
+    ZeroDivisionError like the reference when there are no predictions."""
+    tn, fp, fn, tp = contextual_confusion_matrix(
+        known_anomalies, pred_anomalies, weighted=False)
+    precision = tp / (tp + fp)
+    recall = tp / (tp + fn)
+    f1 = 2 * (precision * recall) / (precision + recall)
+    gmean = float(np.sqrt(precision * recall))
+    if verbose:
+        print(f"precision: {precision}, recall: {recall}")
+        print(f"f1_score: {f1}, gmean: {gmean}")
+    return {"tn": tn, "fp": fp, "fn": fn, "tp": tp,
+            "precision": precision, "recall": recall, "f1": f1,
+            "gmean": gmean}
+
+
+def pointwise_scores(y_true, y_predict, verbose=True):
+    """Pointwise accuracy/precision/recall/F1 (reference find_scores,
+    :1475-1498; kept for capability parity)."""
+    y_true = np.asarray(y_true).astype(int)
+    y_predict = np.asarray(y_predict).astype(int)
+    tp = int(np.sum((y_true == 1) & (y_predict == 1)))
+    tn = int(np.sum((y_true == 0) & (y_predict == 0)))
+    fp = int(np.sum((y_true == 0) & (y_predict == 1)))
+    fn = int(np.sum((y_true == 1) & (y_predict == 0)))
+    acc = (tp + tn) / len(y_true)
+    try:
+        precision = tp / (tp + fp)
+        recall = tp / (tp + fn)
+        f1 = 2 * precision * recall / (precision + recall)
+    except ZeroDivisionError:
+        precision = recall = f1 = 0.0
+    if verbose:
+        print(f"Accuracy {acc:.2f}")
+        print(f"Precision {precision:.2f}")
+        print(f"Recall {recall:.2f}")
+        print(f"F1 Score {f1:.2f}")
+    return {"accuracy": acc, "precision": precision, "recall": recall,
+            "f1": f1}
+
+
+def results_row(signal, confusion):
+    """Row for the cumulative results CSV (reference :115-126):
+    columns signal,tn,fp,fn,tp."""
+    tn, fp, fn, tp = confusion
+    return pd.DataFrame([[signal, tn, fp, fn, tp]],
+                        columns=["signal", "tn", "fp", "fn", "tp"])

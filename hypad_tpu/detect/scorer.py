@@ -1,0 +1,287 @@
+"""Batched anomaly scorer (layer L5) — the whole scoring stage on device.
+
+Behavior spec:
+  * model inference loop     reference anomaly_detection.py:20-155
+  * euclidean scoring        reference score_anomalies
+                             (utils/anomaly_detection_utils.py:407-576)
+  * critic KDE smoothing     :365-404 + _compute_critic_score :307-333
+  * reconstruction errors    :761-863,:866-962 (point / area / dtw)
+  * hyperbolic scoring       :54-66 (per-WINDOW acosh distance — NOT
+                             per-timestep; score lengths intentionally differ
+                             from the euclidean path, SURVEY §2.1)
+  * score combination        combine_scores :336-362 (8 modes incl. the
+                             paper's ``uncertainty`` = ||x_hat_ball||)
+  * multivariate scoring     :129-222
+
+TPU-native: the reference runs a batched CUDA forward then does ALL scoring
+on host numpy/scipy with O(T*W) Python loops and one scipy KDE fit per
+timestep (the profiled hot spot). Here the forward pass over every test
+window is one jitted call, and the entire scoring pipeline — anti-diagonal
+unroll, KDE argmax, rolling smoothing, DTW, z-scores, combination — is jnp
+on device; only interval extraction stays on host (detect/intervals.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypad_tpu.manifold import stereographic as st
+from hypad_tpu.models.tadgan import (
+    critic_x_apply,
+    decoder_apply,
+    encoder_apply,
+    mobius_linear,
+)
+from hypad_tpu.ops.dtw import dtw_errors
+from hypad_tpu.ops.kde import kde_argmax_rows
+from hypad_tpu.ops.rolling import rolling_mean_centered, rolling_trapz_centered, zscore
+from hypad_tpu.ops.unroll import antidiagonal_gather, true_series, unroll_median
+
+CRITIC_COMBOS = ("mult", "uncertainty", "sum", "sum_uncertainty", "critic",
+                 "critic_uncertainty")
+
+
+class InferenceOutput(NamedTuple):
+    recons_signal: np.ndarray   # (N, W) reconstruction (ball coords if hyper)
+    true_signal: np.ndarray     # (N, W) input windows, or hyper_real if hyper
+    critic_score: np.ndarray    # (N,) critic values
+    eucl_recons: Optional[np.ndarray] = None  # (N, W) tanh output (hyper only)
+    gt_signal: Optional[np.ndarray] = None    # raw input windows (hyper only)
+
+
+# ---------------------------------------------------------------------------
+# model forward over the full test set
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("hyperbolic",))
+def _forward_chunk(params, x, hyperbolic):
+    z = encoder_apply(params["encoder"], x)
+    critic = critic_x_apply(params["critic_x"], x)[:, 0]
+    if hyperbolic:
+        hyper, eucl = decoder_apply(params["decoder"], z, hyperbolic=True)
+        hyper_x = mobius_linear(params["decoder"]["hyperbolic_linear"], x)
+        return hyper, eucl, hyper_x, critic
+    recon = decoder_apply(params["decoder"], z)
+    return recon, critic
+
+
+def run_inference(params, X, hyperbolic, batch_size=1024) -> InferenceOutput:
+    """Forward every test window (eval mode: no dropout) in large device
+    batches. Replaces the reference test loop (anomaly_detection.py:67-113).
+    """
+    X = np.asarray(X, np.float32)
+    outs = []
+    for i in range(0, len(X), batch_size):
+        outs.append(jax.device_get(
+            _forward_chunk(params, jnp.asarray(X[i:i + batch_size]),
+                           hyperbolic)))
+    if hyperbolic:
+        hyper = np.concatenate([o[0] for o in outs])
+        eucl = np.concatenate([o[1] for o in outs])
+        hyper_x = np.concatenate([o[2] for o in outs])
+        critic = np.concatenate([o[3] for o in outs])
+        # reference stores hyper_real as "true_signal" for scoring
+        # (anomaly_detection.py:127-131)
+        return InferenceOutput(recons_signal=hyper, true_signal=hyper_x,
+                               critic_score=critic, eucl_recons=eucl,
+                               gt_signal=X)
+    recon = np.concatenate([o[0] for o in outs])
+    critic = np.concatenate([o[1] for o in outs])
+    return InferenceOutput(recons_signal=recon, true_signal=X,
+                           critic_score=critic)
+
+
+# ---------------------------------------------------------------------------
+# critic-score pipeline
+# ---------------------------------------------------------------------------
+
+def _critic_antidiag(critic, n_windows, width):
+    """(N,) critic values -> (T, width) anti-diagonal matrix + mask, where
+    entry (i, j) = critic[i - j] (the reference repeats each window's critic
+    value across the window before unrolling, :372-379)."""
+    T = n_windows + width - 1
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(width)[None, :]
+    n = i - j
+    mask = (n >= 0) & (n < n_windows)
+    vals = critic[jnp.clip(n, 0, n_windows - 1)]
+    return jnp.where(mask, vals, 0.0), mask
+
+
+@functools.partial(jax.jit, static_argnames=("width", "smooth_window"))
+def _critic_scores_device(critic, width, smooth_window):
+    n = critic.shape[0]
+    vals, mask = _critic_antidiag(critic, n, width)
+    kde_max = kde_argmax_rows(vals, mask)
+    # _compute_critic_score (:307-333)
+    lq = jnp.quantile(kde_max, 0.25)
+    uq = jnp.quantile(kde_max, 0.75)
+    in_range = (kde_max >= lq) & (kde_max <= uq)
+    mean = jnp.sum(jnp.where(in_range, kde_max, 0.0)) / jnp.sum(in_range)
+    std = jnp.std(kde_max)
+    z = jnp.abs((kde_max - mean) / std) + 1.0
+    return rolling_mean_centered(z, smooth_window,
+                                 max(smooth_window // 2, 1))
+
+
+def final_critic_scores(critic_score, true_signal):
+    """Reference final_critic_scores (:365-404): returns (T,) smoothed
+    critic anomaly scores, T = W + N - 1."""
+    n, w = true_signal.shape
+    smooth_window = math.trunc(n * 0.01)
+    out = _critic_scores_device(jnp.asarray(critic_score, jnp.float32), w,
+                                max(smooth_window, 1))
+    return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# reconstruction errors (euclidean path)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("rec_error_type",
+                                             "smoothing_window",
+                                             "score_window"))
+def _reconstruction_errors_device(y, y_hat, rec_error_type, smoothing_window,
+                                  score_window=10):
+    true = true_series(y)
+    pred = unroll_median(y_hat)
+    if rec_error_type == "point":
+        errors = jnp.abs(true - pred)
+    elif rec_error_type == "area":
+        st_ = rolling_trapz_centered(true, score_window, score_window // 2)
+        sp = rolling_trapz_centered(pred, score_window, score_window // 2)
+        errors = jnp.abs(st_ - sp)
+    elif rec_error_type == "dtw":
+        errors = dtw_errors(true, pred, score_window)
+    else:
+        raise ValueError(f"unknown rec_error_type {rec_error_type!r}")
+    smoothed = rolling_mean_centered(errors, smoothing_window,
+                                     max(smoothing_window // 2, 1))
+    return smoothed, true, pred
+
+
+def reconstruction_errors(y, y_hat, rec_error_type="point", score_window=10,
+                          smoothing_window=0.01, smooth=True):
+    """Reference reconstruction_errors (:866-962). y/y_hat: (N, W) arrays.
+    Returns (errors (T,), predictions (T,))."""
+    if isinstance(smoothing_window, float):
+        smoothing_window = min(math.trunc(len(y) * smoothing_window), 200)
+    errors, true, pred = _reconstruction_errors_device(
+        jnp.asarray(y, jnp.float32), jnp.asarray(y_hat, jnp.float32),
+        rec_error_type, max(smoothing_window, 1), score_window)
+    if not smooth:
+        # recompute unsmoothed (rare path; reference smooth=True everywhere)
+        _, true, pred = _reconstruction_errors_device(
+            jnp.asarray(y, jnp.float32), jnp.asarray(y_hat, jnp.float32),
+            rec_error_type, 1, score_window)
+    return np.asarray(errors), np.asarray(pred)
+
+
+def _zscore_clip(scores):
+    """zscore -> clip(min=0) -> +1 (:523-524,:542-543)."""
+    z = zscore(jnp.asarray(scores, jnp.float32))
+    return np.asarray(jnp.clip(z, 0.0, None) + 1.0)
+
+
+# ---------------------------------------------------------------------------
+# combination
+# ---------------------------------------------------------------------------
+
+def combine_scores(combination, critic_scores, rec_scores, recons_signal):
+    """Reference combine_scores (:336-362) — all 8 modes."""
+    critic_scores = np.asarray(critic_scores) if len(critic_scores) else critic_scores
+    rec_scores = np.asarray(rec_scores)
+    if combination == "sum":
+        return 0.2 * critic_scores + 0.8 * rec_scores
+    if combination == "mult":
+        return np.multiply(critic_scores, rec_scores)
+    if combination == "uncertainty":
+        unc = np.linalg.norm(recons_signal, axis=1)
+        return np.multiply(critic_scores, rec_scores) * unc
+    if combination == "critic":
+        return critic_scores
+    if combination == "critic_uncertainty":
+        unc = np.linalg.norm(recons_signal, axis=1)
+        return critic_scores * unc
+    if combination == "sum_uncertainty":
+        unc = np.linalg.norm(recons_signal, axis=1)
+        n = rec_scores.shape[0]
+        return 0.5 * critic_scores * unc[:n] + 0.5 * rec_scores * unc[:n]
+    if combination == "rec":
+        return rec_scores
+    if combination == "rec_uncertainty":
+        unc = np.linalg.norm(recons_signal, axis=1)
+        return rec_scores * unc
+    raise ValueError(f"unknown combination {combination!r}")
+
+
+# ---------------------------------------------------------------------------
+# top-level scoring entries
+# ---------------------------------------------------------------------------
+
+def score_anomalies_euclidean(y, y_hat, critic, rec_error_type="point",
+                              comb="mult", lambda_rec=0.5):
+    """Reference score_anomalies (:407-576) minus the pickle cache plumbing
+    (artifact caching lives in utils/artifacts.py). Returns final (T,) scores.
+    """
+    critic_scores = final_critic_scores(critic, y)
+    errors, _ = reconstruction_errors(y, y_hat, rec_error_type)
+    rec_scores = _zscore_clip(errors)
+    if comb == "mult":
+        return np.multiply(critic_scores, rec_scores)
+    if comb == "sum":
+        return ((1 - lambda_rec) * (critic_scores - 1)
+                + lambda_rec * (rec_scores - 1))
+    if comb == "rec":
+        return rec_scores
+    if comb == "critic":
+        return critic_scores
+    raise ValueError(
+        f'Unknown combination specified {comb}, use "mult", "sum", or "rec"')
+
+
+def hyperbolic_window_scores(recons_signal, true_signal):
+    """Per-window acosh Poincare distance (:58-66). Shapes (N, W) -> (N,).
+    NOTE the reference passes recons as 'true_data' and ground-truth-in-ball
+    as 'pred_data' (swapped names, harmless: the distance is symmetric)."""
+    d = st.acosh_poincare_distance(
+        jnp.asarray(recons_signal, jnp.float32),
+        jnp.asarray(true_signal, jnp.float32))
+    return np.asarray(d)
+
+
+def score_anomalies_hyperbolic(inference: InferenceOutput, combination):
+    """Hyperbolic univariate scoring (:54-86): per-window rec scores,
+    critic scores truncated to N windows, combined."""
+    rec_scores = hyperbolic_window_scores(inference.recons_signal,
+                                          inference.true_signal)
+    critic_scores = []
+    if combination in CRITIC_COMBOS:
+        critic_scores = final_critic_scores(
+            inference.critic_score, inference.true_signal)
+        critic_scores = critic_scores[: rec_scores.shape[0]]
+    return combine_scores(combination, critic_scores, rec_scores,
+                          inference.recons_signal)
+
+
+def score_anomalies_multivariate(inference: InferenceOutput, combination,
+                                 hyperbolic):
+    """Multivariate scoring (:153-196): per-timestep scores over (N, F)."""
+    recons = inference.recons_signal
+    true = inference.true_signal
+    if hyperbolic:
+        raw = hyperbolic_window_scores(recons, true)
+    else:
+        raw = np.linalg.norm(true - recons, axis=1)
+    rec_scores = _zscore_clip(raw)
+    critic_scores = []
+    if combination in CRITIC_COMBOS:
+        critic_scores = final_critic_scores(inference.critic_score, true)
+        critic_scores = critic_scores[: rec_scores.shape[0]]
+    return combine_scores(combination, critic_scores, rec_scores, recons)

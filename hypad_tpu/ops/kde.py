@@ -1,0 +1,64 @@
+"""Batched Gaussian-KDE argmax over anti-diagonals — one einsum per batch.
+
+Behavior spec: reference ``utils/anomaly_detection_utils.py:381-400`` (and its
+duplicate ``:480-503``): per timestep, fit ``scipy.stats.gaussian_kde`` to the
+<=W critic values on the anti-diagonal, evaluate the density AT those same
+points, and keep the sample where the density peaks; fall back to the median
+when the fit is singular (zero variance) or only one sample exists.
+
+scipy semantics reproduced:
+  * Scott bandwidth: ``factor = n**(-1/(d+4))`` with d=1 -> ``n**(-0.2)``;
+  * covariance uses the UNBIASED sample variance (np.cov ddof=1);
+  * the argmax is over density values, first-max-wins (np.argmax).
+
+The normalization constant is dropped — it does not affect the argmax. The
+whole T-row batch is one masked pairwise-difference reduction; rows are
+processed in blocks to bound the (block, W, W) intermediate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hypad_tpu.ops.unroll import masked_median
+
+
+def kde_argmax_rows(vals, mask, block=1024):
+    """Per-row KDE-argmax sample. vals/mask: (T, W). Returns (T,).
+
+    Rows with count <= 1 or zero variance use the masked median (the
+    reference's fallback paths)."""
+
+    def one_block(vb, mb):
+        cnt = jnp.sum(mb, axis=-1)                            # (t,)
+        cnt_f = jnp.maximum(cnt, 1).astype(vb.dtype)
+        mean = jnp.sum(jnp.where(mb, vb, 0.0), -1) / cnt_f
+        centered = jnp.where(mb, vb - mean[:, None], 0.0)
+        var = jnp.sum(centered * centered, -1) / jnp.maximum(cnt_f - 1.0, 1.0)
+        # Scott: h^2 = var * n^(-2/5)
+        h2 = var * cnt_f ** (-0.4)
+        h2_safe = jnp.where(h2 > 0, h2, 1.0)
+
+        diff = vb[:, :, None] - vb[:, None, :]                # (t, W, W)
+        pair_mask = mb[:, :, None] & mb[:, None, :]
+        logk = -(diff * diff) / (2.0 * h2_safe[:, None, None])
+        dens = jnp.sum(jnp.where(pair_mask, jnp.exp(logk), 0.0), axis=-1)
+        dens = jnp.where(mb, dens, -jnp.inf)
+        arg = jnp.argmax(dens, axis=-1)
+        kde_val = jnp.take_along_axis(vb, arg[:, None], axis=-1)[:, 0]
+
+        med = masked_median(vb, mb)
+        use_kde = (cnt > 1) & (var > 0)
+        return jnp.where(use_kde, kde_val, med)
+
+    T = vals.shape[0]
+    if T <= block:
+        return one_block(vals, mask)
+    pad = (-T) % block
+    vp = jnp.pad(vals, ((0, pad), (0, 0)))
+    mp = jnp.pad(mask, ((0, pad), (0, 0)))
+    vb = vp.reshape(-1, block, vals.shape[1])
+    mb = mp.reshape(-1, block, vals.shape[1])
+    out = jax.lax.map(lambda args: one_block(*args), (vb, mb))
+    return out.reshape(-1)[:T]

@@ -1,0 +1,60 @@
+"""Anti-diagonal unrolling of window-stacked predictions — batched gathers.
+
+Behavior spec: the reference rebuilds a single time series from the (N, W)
+matrix of overlapping window reconstructions by walking, for each of
+``T = W + N - 1`` timesteps, the anti-diagonal ``y_hat[i - j, j]`` and taking
+its median (reconstruction, ``utils/anomaly_detection_utils.py:915-938``) or
+its KDE-argmax (critic scores, ``:372-400``). The reference does this with a
+Python double loop (O(T*W) list appends + a KDE fit per timestep) — the
+scoring hot spot called out in SURVEY §3.4. Here the whole anti-diagonal
+structure is materialized as ONE (T, W) gather + mask, and the reductions are
+masked vector ops, so the entire unroll runs on-device in microseconds.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def antidiagonal_gather(y_hat):
+    """(N, W) window-stacked values -> (T, W) anti-diagonal matrix + mask.
+
+    Row i holds the values predicted for timestep i: ``y_hat[i - j, j]`` for
+    the valid j's, in ascending-j order (matching the reference's loop order);
+    invalid entries are 0 with mask False. T = N + W - 1.
+    """
+    N, W = y_hat.shape
+    T = N + W - 1
+    i = jnp.arange(T)[:, None]        # (T, 1)
+    j = jnp.arange(W)[None, :]        # (1, W)
+    n = i - j                          # window index
+    mask = (n >= 0) & (n < N)
+    vals = y_hat[jnp.clip(n, 0, N - 1), j]
+    return jnp.where(mask, vals, 0.0), mask
+
+
+def masked_median(vals, mask):
+    """Per-row median over the masked entries (np.median semantics: mean of
+    the two middle order statistics for even counts)."""
+    big = jnp.asarray(jnp.finfo(vals.dtype).max, vals.dtype)
+    filled = jnp.where(mask, vals, big)
+    s = jnp.sort(filled, axis=-1)
+    cnt = jnp.sum(mask, axis=-1)
+    lo = jnp.take_along_axis(s, ((cnt - 1) // 2)[:, None], axis=-1)[:, 0]
+    hi = jnp.take_along_axis(s, (cnt // 2)[:, None], axis=-1)[:, 0]
+    return 0.5 * (lo + hi)
+
+
+def unroll_median(y_hat):
+    """Reference ``reconstruction_errors`` prediction unroll
+    (utils/anomaly_detection_utils.py:915-938): per-timestep median of all
+    overlapping window predictions. (N, W) -> (T,)."""
+    vals, mask = antidiagonal_gather(y_hat)
+    return masked_median(vals, mask)
+
+
+def true_series(y):
+    """Reference 'true' reassembly (utils/anomaly_detection_utils.py:908-910):
+    first element of every window plus the tail of the last window.
+    (N, W) -> (T,)."""
+    return jnp.concatenate([y[:, 0], y[-1, 1:]])

@@ -1,0 +1,315 @@
+"""WGAN-GP trainer (layer L3) — one fused XLA program per epoch.
+
+Behavior spec: reference ``train.py``:
+  * critic_x step        :18-104  (Wasserstein loss, elementwise-alpha
+                                   interpolation, gradient penalty with the
+                                   whole-batch-flattened norm quirk, x10)
+  * critic_z step        :107-186
+  * generator step       :189-249 (adversarial terms + 10x reconstruction:
+                                   MSE euclidean / summed acosh Poincare
+                                   distance hyperbolic)
+  * epoch schedule       :299-356 (5 FULL passes over the train set for both
+                                   critics, then one full generator pass —
+                                   note: 5 passes, not 5 steps; each pass is
+                                   a fresh shuffle with drop_last)
+  * optimizers           :274-288 (Adam for critics; joint enc+dec Adam,
+                                   replaced by RiemannianAdam(wd=1e-5,
+                                   stabilize=10) when hyperbolic)
+
+TPU-native design: the reference dispatches ~6 x n_batches individual
+CUDA-stream steps per epoch from Python; here a whole epoch — shuffling,
+all 5 critic passes, the generator pass, optimizer updates — is ONE jitted
+XLA program driven by ``lax.scan`` over the batch axis, with the window
+tensor resident on device across epochs. Data parallelism is expressed with
+``jax.sharding``: batches carry a sharding constraint on the batch axis over
+the ``dp`` mesh axis and parameters are replicated, so XLA partitions the
+step and inserts the gradient all-reduces over ICI (SURVEY.md §2.3/§5).
+
+Faithfulness notes (quirks preserved intentionally):
+  * GP computes ONE l2 norm over the entire flattened (B, W) gradient — the
+    reference views gradients as (batch_size_=1, -1) before norm
+    (train.py:61,:85-93) — NOT a per-sample norm.
+  * alpha is elementwise U(0,1) of the full batch shape (train.py:64-66).
+  * when hyperbolic, critics consume Poincare-ball coordinates as "fake"
+    while "real" stays (-1,1)-scaled signal (train.py:27-34).
+  * all modules stay in train mode throughout (dropout active in critics
+    and decoder during every sub-step; freezing is gradient-only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypad_tpu.models.tadgan import (
+    critic_x_apply,
+    critic_z_apply,
+    decoder_apply,
+    encoder_apply,
+    mobius_linear,
+)
+from hypad_tpu.manifold import stereographic as st
+from hypad_tpu.optim.radam import adam, manifold_mask, riemannian_adam
+
+N_CRITICS = 5          # full passes per epoch (train.py:301)
+GP_WEIGHT = 10.0       # train.py:100,:182
+REC_WEIGHT = 10.0      # train.py:234,:244
+GP_NORM_EPS = 1e-12    # train.py:90
+
+
+class TrainState(NamedTuple):
+    params: Any          # {"encoder","decoder","critic_x","critic_z"}
+    opt_cx: Any
+    opt_cz: Any
+    opt_gen: Any
+    epoch: jnp.ndarray   # scalar int32
+
+
+def _gen_params(params):
+    return {"encoder": params["encoder"], "decoder": params["decoder"]}
+
+
+def make_optimizers(lr, hyperbolic):
+    opt_cx = adam(lr)
+    opt_cz = adam(lr)
+    if hyperbolic:
+        opt_gen = riemannian_adam(lr, weight_decay=1e-5, stabilize=10)
+    else:
+        opt_gen = adam(lr)
+    return opt_cx, opt_cz, opt_gen
+
+
+def init_train_state(params, lr, hyperbolic):
+    opt_cx, opt_cz, opt_gen = make_optimizers(lr, hyperbolic)
+    return TrainState(
+        params=params,
+        opt_cx=opt_cx.init(params["critic_x"]),
+        opt_cz=opt_cz.init(params["critic_z"]),
+        opt_gen=opt_gen.init(_gen_params(params)),
+        epoch=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-batch losses
+# ---------------------------------------------------------------------------
+
+def _whole_batch_gp(critic_fn, interp):
+    """Gradient penalty with the reference's whole-batch-flattened norm
+    (train.py:75-93): grad of sum(C(interp)) wrt interp, single l2 norm."""
+    grads = jax.grad(lambda t: jnp.sum(critic_fn(t)))(interp)
+    gn = jnp.sqrt(jnp.sum(grads * grads) + GP_NORM_EPS)
+    return (gn - 1.0) ** 2
+
+
+def critic_x_loss(cx_params, gen_params, x, key, hyperbolic):
+    """Reference critic_x_iteration (train.py:18-104). x: (B, W)."""
+    B = x.shape[0]
+    k_drop1, k_drop2, k_drop3, k_z, k_alpha, k_ddrop = jax.random.split(key, 6)
+    valid_x = critic_x_apply(cx_params, x, training=True, rng=k_drop1)
+    z = jax.random.normal(k_z, (B, gen_params["decoder"]["dense1"]["w"].shape[1]))
+    dec_out = decoder_apply(gen_params["decoder"], z, hyperbolic=hyperbolic,
+                            training=True, rng=k_ddrop)
+    x_fake = dec_out[0] if hyperbolic else dec_out
+    fake_x = critic_x_apply(cx_params, x_fake, training=True, rng=k_drop2)
+
+    wl = jnp.mean(fake_x) - jnp.mean(valid_x)
+
+    alpha = jax.random.uniform(k_alpha, x.shape)
+    interp = alpha * jax.lax.stop_gradient(x) + (1.0 - alpha) * jax.lax.stop_gradient(x_fake)
+    gp = _whole_batch_gp(
+        lambda t: critic_x_apply(cx_params, t, training=True, rng=k_drop3),
+        interp,
+    )
+    return wl + GP_WEIGHT * gp
+
+
+def critic_z_loss(cz_params, gen_params, x, key, hyperbolic):
+    """Reference critic_z_iteration (train.py:107-186)."""
+    B = x.shape[0]
+    latent = gen_params["decoder"]["dense1"]["w"].shape[1]
+    k_drop1, k_drop2, k_drop3, k_z, k_alpha = jax.random.split(key, 5)
+    z_enc = encoder_apply(gen_params["encoder"], x)
+    fake_z = critic_z_apply(cz_params, z_enc, training=True, rng=k_drop1)
+    z = jax.random.normal(k_z, (B, latent))
+    valid_z = critic_z_apply(cz_params, z, training=True, rng=k_drop2)
+    wl = jnp.mean(fake_z) - jnp.mean(valid_z)
+
+    alpha = jax.random.uniform(k_alpha, z.shape)
+    interp = alpha * jax.lax.stop_gradient(z) + (1.0 - alpha) * jax.lax.stop_gradient(z_enc)
+    gp = _whole_batch_gp(
+        lambda t: critic_z_apply(cz_params, t, training=True, rng=k_drop3),
+        interp,
+    )
+    return wl + GP_WEIGHT * gp
+
+
+def generator_loss(gen_params, cx_params, cz_params, x, key, hyperbolic):
+    """Reference decoder_iteration (train.py:189-249). Returns
+    (loss, (rec_metric,)) where rec_metric is hyper_loss or mse."""
+    B = x.shape[0]
+    latent = gen_params["decoder"]["dense1"]["w"].shape[1]
+    (k_z, k_cz, k_cx, k_ddrop1, k_ddrop2) = jax.random.split(key, 5)
+
+    z_enc = encoder_apply(gen_params["encoder"], x)
+    fake_gen_z = critic_z_apply(cz_params, z_enc, training=True, rng=k_cz)
+
+    z = jax.random.normal(k_z, (B, latent))
+    dec_out = decoder_apply(gen_params["decoder"], z, hyperbolic=hyperbolic,
+                            training=True, rng=k_ddrop1)
+    x_gen_ = dec_out[0] if hyperbolic else dec_out
+    fake_gen_x = critic_x_apply(cx_params, x_gen_, training=True, rng=k_cx)
+
+    adv = -jnp.mean(fake_gen_x) - jnp.mean(fake_gen_z)
+
+    if hyperbolic:
+        x_gen_rec, _ = decoder_apply(gen_params["decoder"], z_enc,
+                                     hyperbolic=True, training=True,
+                                     rng=k_ddrop2)
+        hyper_x = mobius_linear(gen_params["decoder"]["hyperbolic_linear"], x)
+        dist = st.acosh_poincare_distance(x_gen_rec, hyper_x)
+        rec = jnp.sum(dist) / B          # train.py:232
+    else:
+        x_gen_rec = decoder_apply(gen_params["decoder"], z_enc,
+                                  training=True, rng=k_ddrop2)
+        rec = jnp.mean((x - x_gen_rec) ** 2)  # nn.MSELoss, train.py:243
+    return REC_WEIGHT * rec + adv, rec
+
+
+# ---------------------------------------------------------------------------
+# fused epoch
+# ---------------------------------------------------------------------------
+
+def _shuffled_batches(key, X, n_batches, batch_size):
+    """Device-side shuffle + drop_last reshape -> (n_batches, B, ...)."""
+    perm = jax.random.permutation(key, X.shape[0])[: n_batches * batch_size]
+    return X[perm].reshape((n_batches, batch_size) + X.shape[1:])
+
+
+def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
+    """Compile-once epoch runner: (state, X, key) -> (state, metrics).
+
+    ``mesh``: optional jax.sharding.Mesh with a 'dp' axis; batches get a
+    sharding constraint over it so XLA partitions every step across devices.
+    """
+    opt_cx, opt_cz, opt_gen = make_optimizers(lr, hyperbolic)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P(None, "dp"))
+
+        def constrain(b):  # (n_batches, B, ...) -> shard the B axis
+            return jax.lax.with_sharding_constraint(
+                b, NamedSharding(mesh, P(None, "dp") if b.ndim == 2
+                                 else P(None, "dp", None))
+            )
+    else:
+        def constrain(b):
+            return b
+
+    def critic_batch(carry, inp):
+        params, o_cx, o_cz = carry
+        x, key = inp
+        kx, kz = jax.random.split(key)
+        gen = _gen_params(params)
+
+        lx, gx = jax.value_and_grad(critic_x_loss)(
+            params["critic_x"], gen, x, kx, hyperbolic)
+        new_cx, o_cx = opt_cx.update(gx, o_cx, params["critic_x"])
+        params = dict(params, critic_x=new_cx)
+
+        lz, gz = jax.value_and_grad(critic_z_loss)(
+            params["critic_z"], gen, x, kz, hyperbolic)
+        new_cz, o_cz = opt_cz.update(gz, o_cz, params["critic_z"])
+        params = dict(params, critic_z=new_cz)
+
+        return (params, o_cx, o_cz), (lx, lz)
+
+    def gen_batch(carry, inp):
+        params, o_gen = carry
+        x, key = inp
+        gen = _gen_params(params)
+        (loss, rec), grads = jax.value_and_grad(
+            generator_loss, has_aux=True)(
+            gen, params["critic_x"], params["critic_z"], x, key, hyperbolic)
+        new_gen, o_gen = opt_gen.update(grads, o_gen, gen)
+        params = dict(params, encoder=new_gen["encoder"],
+                      decoder=new_gen["decoder"])
+        return (params, o_gen), (loss, rec)
+
+    def epoch_fn(state: TrainState, X, key):
+        n_batches = X.shape[0] // batch_size
+        keys = jax.random.split(key, 2 * N_CRITICS + 2)
+
+        # ---- 5 full critic passes, fresh shuffle each (train.py:315-331)
+        critic_data = jnp.stack([
+            constrain(_shuffled_batches(keys[i], X, n_batches, batch_size))
+            for i in range(N_CRITICS)
+        ])  # (5, n_batches, B, W)
+        flat = critic_data.reshape((N_CRITICS * n_batches, batch_size)
+                                   + X.shape[1:])
+        step_keys = jax.random.split(keys[N_CRITICS], flat.shape[0])
+        (params_c, o_cx, o_cz), (lx, lz) = jax.lax.scan(
+            critic_batch,
+            (state.params, state.opt_cx, state.opt_cz),
+            (flat, step_keys),
+        )
+
+        # ---- one generator pass (train.py:347-356)
+        gen_data = constrain(
+            _shuffled_batches(keys[N_CRITICS + 1], X, n_batches, batch_size))
+        gkeys = jax.random.split(keys[-1], n_batches)
+        (params_g, o_gen), (lg, rec) = jax.lax.scan(
+            gen_batch, (params_c, state.opt_gen), (gen_data, gkeys))
+
+        metrics = {
+            "critic_x_loss": jnp.mean(lx),
+            "critic_z_loss": jnp.mean(lz),
+            "decoder_loss": jnp.mean(lg),
+            "rec_loss": jnp.mean(rec),
+        }
+        new_state = TrainState(params=params_g, opt_cx=o_cx, opt_cz=o_cz,
+                               opt_gen=o_gen, epoch=state.epoch + 1)
+        return new_state, metrics
+
+    return jax.jit(epoch_fn)
+
+
+# ---------------------------------------------------------------------------
+# training driver (host loop over epochs; everything inside is on-device)
+# ---------------------------------------------------------------------------
+
+def train_tadgan(state: TrainState, X: np.ndarray, *, lr, hyperbolic,
+                 batch_size, n_epochs, seed=0, mesh=None,
+                 checkpoint_cb=None, log_cb=None, start_epoch=0):
+    """Run the full training schedule. ``X``: (N, W) float32 windows.
+
+    ``checkpoint_cb(epoch, state)`` fires every 10 epochs and at the end
+    (reference train.py:381-385 cadence). ``log_cb(epoch, metrics)`` per
+    epoch. Returns the final state.
+    """
+    epoch_fn = build_epoch_fn(lr, hyperbolic, batch_size, mesh=mesh)
+    X = jnp.asarray(X, jnp.float32)
+    base_key = jax.random.PRNGKey(seed)
+
+    # reference resume semantics minus its NameError bug (train.py:292-294,
+    # :388-406): with resume, run the REMAINING epochs, numbering continued.
+    actual_epoch = start_epoch
+    remaining = n_epochs - start_epoch
+
+    for _ in range(remaining):
+        key = jax.random.fold_in(base_key, actual_epoch)
+        state, metrics = epoch_fn(state, X, key)
+        actual_epoch += 1
+        if log_cb is not None:
+            log_cb(actual_epoch, jax.device_get(metrics))
+        if checkpoint_cb is not None and (
+            actual_epoch % 10 == 0 or actual_epoch == n_epochs - 1
+        ):
+            checkpoint_cb(actual_epoch, state)
+    return state

@@ -1,0 +1,96 @@
+"""Config system: flat YAML -> namespace (layer L6).
+
+Behavior spec: reference ``main.py:24-27`` / ``anomaly_detection.py:168-171``
+load the YAML into an argparse.Namespace; the schema is the key set of
+``configs/univariate.yaml:1-21`` (dataset, signal, epochs, hyperbolic,
+signal_shape, lr, batch_size, save_result, filename, rec_error, combination,
+interval, unique_dataset, resume, resume_epoch, load, new_features, id,
+split); the multivariate config drops interval/unique_dataset
+(``configs/multivariate.yaml``). One hardcoded override:
+``latent_space_dim = 20`` (train.py:413).
+
+Extensions (documented, defaulted so reference configs load unchanged):
+  * data_root   — directory holding the datasets (reference hardcodes ./data)
+  * output_root — where trained_models/ and results/ are created
+  * seed        — RNG seed for the whole run
+  * devices     — 'all' (data-parallel over every visible device) or an int
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import yaml
+
+DEFAULTS = {
+    "dataset": "MSL",
+    "signal": "C-2",
+    "epochs": 40,
+    "hyperbolic": True,
+    "signal_shape": 100,
+    "lr": 0.0005,
+    "batch_size": 64,
+    "save_result": False,
+    "filename": "",
+    "rec_error": "dtw",
+    "combination": "mult",
+    "interval": 21600,
+    "unique_dataset": False,
+    "resume": False,
+    "resume_epoch": 10,
+    "load": False,
+    "new_features": False,
+    "id": 1,
+    "split": 1,
+    # extensions
+    "data_root": "./data",
+    "output_root": ".",
+    "seed": 0,
+    "devices": "all",
+}
+
+VALID_COMBINATIONS = ("sum", "mult", "uncertainty", "critic",
+                      "critic_uncertainty", "sum_uncertainty", "rec",
+                      "rec_uncertainty")
+VALID_REC_ERRORS = ("point", "area", "dtw")
+
+
+def load_config(path_or_dict) -> argparse.Namespace:
+    if isinstance(path_or_dict, dict):
+        raw = dict(path_or_dict)
+    else:
+        with open(path_or_dict) as f:
+            raw = yaml.safe_load(f)
+    cfg = dict(DEFAULTS)
+    cfg.update(raw or {})
+    cfg["latent_space_dim"] = 20  # hardcoded by the reference (train.py:413)
+    ns = argparse.Namespace(**cfg)
+    validate(ns)
+    return ns
+
+
+def validate(params):
+    if params.combination not in VALID_COMBINATIONS:
+        raise ValueError(
+            f"combination {params.combination!r} not in {VALID_COMBINATIONS}")
+    if params.rec_error not in VALID_REC_ERRORS:
+        raise ValueError(
+            f"rec_error {params.rec_error!r} not in {VALID_REC_ERRORS}")
+    if params.batch_size <= 0 or params.epochs < 0:
+        raise ValueError("batch_size must be positive and epochs >= 0")
+
+
+def run_dir(params) -> str:
+    """Model/run directory, reference naming convention (train.py:428-437):
+    trained_models/models_{hyper|eucl}_{dataset}_{epochs}_{lr}/{dataset}
+    [/{signal} unless multivariate]."""
+    geo = "hyper" if params.hyperbolic else "eucl"
+    base = os.path.join(
+        params.output_root, "trained_models",
+        f"models_{geo}_{params.dataset}_{params.epochs}_{params.lr}",
+        str(params.dataset),
+    )
+    if params.signal != "multivariate":
+        base = os.path.join(base, str(params.signal))
+    return base

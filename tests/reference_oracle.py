@@ -1,0 +1,75 @@
+"""Test-only loader for the reference implementation at /root/reference.
+
+Imports the reference's scoring module so our device pipeline can be
+golden-tested against the original numpy/scipy/pandas implementation.
+The reference imports ``pyts`` (not installed here); we register a minimal
+numpy stand-in implementing classic DTW with squared local cost and a final
+sqrt — pyts.metrics.dtw's documented default behavior.
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+
+REF = "/root/reference"
+
+
+def classic_dtw_square(x, y):
+    """Classic DTW, squared point cost, sqrt of terminal accumulated cost
+    (pyts.metrics.dtw(dist='square', method='classic') semantics)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n, m = len(x), len(y)
+    cost = (x[:, None] - y[None, :]) ** 2
+    acc = np.full((n, m), np.inf)
+    acc[0, 0] = cost[0, 0]
+    for j in range(1, m):
+        acc[0, j] = acc[0, j - 1] + cost[0, j]
+    for i in range(1, n):
+        acc[i, 0] = acc[i - 1, 0] + cost[i, 0]
+        for j in range(1, m):
+            acc[i, j] = cost[i, j] + min(acc[i - 1, j], acc[i, j - 1],
+                                         acc[i - 1, j - 1])
+    return float(np.sqrt(acc[-1, -1]))
+
+
+def _install_pyts_shim():
+    if "pyts" in sys.modules:
+        return
+    pyts = types.ModuleType("pyts")
+    metrics = types.ModuleType("pyts.metrics")
+    metrics.dtw = classic_dtw_square
+    pyts.metrics = metrics
+    sys.modules["pyts"] = pyts
+    sys.modules["pyts.metrics"] = metrics
+
+
+def _load_module(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_reference_adu():
+    """Load the reference's utils/anomaly_detection_utils.py with its
+    package context satisfied."""
+    _install_pyts_shim()
+    import matplotlib
+
+    matplotlib.use("Agg")
+    if "utils" not in sys.modules or not hasattr(sys.modules.get("utils"), "__path__"):
+        pkg = types.ModuleType("utils")
+        pkg.__path__ = [REF + "/utils"]
+        sys.modules["utils"] = pkg
+    _load_module("utils.dataloader", REF + "/utils/dataloader.py")
+    mod = _load_module("utils.anomaly_detection_utils",
+                       REF + "/utils/anomaly_detection_utils.py")
+    # the reference targets scipy<1.14 where integrate.trapz still existed;
+    # give the loaded module a shim without touching the installed scipy
+    if not hasattr(mod.integrate, "trapz"):
+        mod.integrate = types.SimpleNamespace(trapz=np.trapezoid)
+    return mod

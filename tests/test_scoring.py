@@ -1,0 +1,156 @@
+"""Golden parity tests: our device scoring pipeline vs the reference's
+numpy/scipy implementation executed from /root/reference (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from hypad_tpu.detect import intervals as iv
+from hypad_tpu.detect import metrics as mt
+from hypad_tpu.detect import scorer as sc
+from hypad_tpu.ops.dtw import dtw_pair
+from reference_oracle import classic_dtw_square, load_reference_adu
+
+
+@pytest.fixture(scope="module")
+def adu():
+    return load_reference_adu()
+
+
+@pytest.fixture(scope="module")
+def fake_windows():
+    rng = np.random.default_rng(0)
+    N, W = 160, 100
+    t = np.linspace(0, 12 * np.pi, N + W - 1)
+    base = np.sin(t)
+    base[300:320] += 2.5  # an anomaly bump
+    y = np.stack([base[i:i + W] for i in range(N)])
+    y_hat = y + 0.1 * rng.standard_normal((N, W))
+    critic = rng.standard_normal(N)
+    return y.astype(np.float64), y_hat.astype(np.float64), critic
+
+
+def test_dtw_pair_matches_oracle():
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        x = rng.standard_normal(11)
+        y = rng.standard_normal(11)
+        got = float(dtw_pair(x.astype(np.float32), y.astype(np.float32)))
+        want = classic_dtw_square(x, y)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_final_critic_scores_match(adu, fake_windows):
+    y, y_hat, critic = fake_windows
+    want = adu.final_critic_scores(critic, y)
+    got = sc.final_critic_scores(critic, y)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("ret", ["point", "area", "dtw"])
+def test_reconstruction_errors_match(adu, fake_windows, ret):
+    y, y_hat, _ = fake_windows
+    # reference receives (N, W, 1) windows from its loader; ours are (N, W)
+    want, _ = adu.reconstruction_errors(y[..., None], y_hat, 1, 10, 0.01,
+                                        True, ret)
+    want = np.asarray(want, dtype=np.float64)
+    got, _ = sc.reconstruction_errors(y, y_hat, rec_error_type=ret)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("comb", ["mult", "sum", "rec", "critic"])
+def test_score_anomalies_euclidean_matches(adu, fake_windows, comb):
+    y, y_hat, critic = fake_windows
+    want, _, _, _ = adu.score_anomalies(
+        y[..., None], y_hat, critic, np.arange(len(y)),
+        rec_error_type="point", comb=comb, path=None)
+    got = sc.score_anomalies_euclidean(y, y_hat, critic,
+                                       rec_error_type="point", comb=comb)
+    np.testing.assert_allclose(got, np.asarray(want, np.float64),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_hyperbolic_window_scores_match(adu):
+    rng = np.random.default_rng(2)
+    N, W = 50, 100
+    recons = rng.standard_normal((N, W)) * 0.05
+    true = rng.standard_normal((N, W)) * 0.05
+    import torch
+
+    td = torch.Tensor(recons).reshape(-1, W)
+    pd_ = torch.Tensor(true).reshape(-1, W)
+    sqdist = torch.sum((pd_ - td) ** 2, dim=1)
+    squ = torch.sum(pd_**2, dim=-1)
+    sqv = torch.sum(td**2, dim=-1)
+    want = torch.acosh(1 + 2 * sqdist / ((1 - squ) * (1 - sqv)) + 1e-7).numpy()
+    got = sc.hyperbolic_window_scores(recons, true)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_combine_scores_all_modes_match(adu):
+    rng = np.random.default_rng(3)
+    n = 40
+    critic = rng.random(n) + 0.5
+    rec = rng.random(n) + 0.5
+    recons = rng.standard_normal((n, 100)) * 0.1
+    for mode in ("sum", "mult", "uncertainty", "critic", "critic_uncertainty",
+                 "sum_uncertainty", "rec", "rec_uncertainty"):
+        want = adu.combine_scores(mode, critic, rec, recons)
+        got = sc.combine_scores(mode, critic, rec, recons)
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   err_msg=f"mode={mode}")
+
+
+def test_find_anomalies_matches_reference(adu, fake_windows):
+    y, y_hat, critic = fake_windows
+    scores = sc.score_anomalies_euclidean(y, y_hat, critic,
+                                          rec_error_type="point", comb="mult")
+    index = np.arange(len(scores)) * 100 + 10_000
+    want = adu.find_anomalies(scores.reshape(-1), index,
+                              window_size_portion=0.33,
+                              window_step_size_portion=0.1,
+                              fixed_threshold=True)
+    got = iv.find_anomalies(scores.reshape(-1), index,
+                            window_size_portion=0.33,
+                            window_step_size_portion=0.1,
+                            fixed_threshold=True)
+    assert got.shape == want.shape
+    # interval boundaries must be exact; scores inherit f32 rounding from
+    # the device scoring stage
+    np.testing.assert_array_equal(got[:, :2], want[:, :2])
+    np.testing.assert_allclose(got[:, 2], want[:, 2], rtol=1e-5)
+
+
+def test_find_anomalies_dynamic_threshold_matches(adu):
+    rng = np.random.default_rng(4)
+    errors = np.abs(rng.standard_normal(400)) + 1.0
+    errors[100:110] += 6.0
+    index = np.arange(400)
+    want = adu.find_anomalies(errors, index, window_size_portion=0.5,
+                              window_step_size_portion=0.5,
+                              fixed_threshold=False)
+    got = iv.find_anomalies(errors, index, window_size_portion=0.5,
+                            window_step_size_portion=0.5,
+                            fixed_threshold=False)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_contextual_confusion_matrix_matches(adu):
+    import pandas as pd
+
+    expected = pd.DataFrame({"start": [100, 500, 900], "end": [150, 600, 950]})
+    observed = pd.DataFrame({"start": [120, 700], "end": [160, 800]})
+    want = adu.contextual_confusion_matrix(expected, observed, weighted=False)
+    got = mt.contextual_confusion_matrix(expected, observed, weighted=False)
+    assert got == want
+    # sanity: 1 TP (first), 2 FN, 1 FP
+    assert got[1:] == (1, 2, 1)
+
+
+def test_weighted_confusion_matrix_is_documented_unsupported():
+    import pandas as pd
+
+    df = pd.DataFrame({"start": [0], "end": [1]})
+    with pytest.raises(NotImplementedError):
+        mt.contextual_confusion_matrix(df, df, weighted=True)
