@@ -34,10 +34,12 @@ def _build(params):
 def _init_models(params):
     from hypad_tpu.models.tadgan import init_tadgan
 
-    signal_shape = params.signal_shape
-    return init_tadgan(jax.random.PRNGKey(params.seed),
-                       signal_shape=signal_shape,
-                       hyperbolic=params.hyperbolic)
+    # init on host: tiny-tensor construction through a remote-device tunnel
+    # costs seconds of round-trips; bulk-transfer the finished pytree later
+    with jax.default_device(jax.devices("cpu")[0]):
+        return init_tadgan(jax.random.PRNGKey(params.seed),
+                           signal_shape=params.signal_shape,
+                           hyperbolic=params.hyperbolic)
 
 
 def cmd_train(params, config_path):
@@ -50,8 +52,15 @@ def cmd_train(params, config_path):
 
     mesh = make_mesh(params.devices)
     model_params = _init_models(params)
-    state = tr.init_train_state(model_params, lr=params.lr,
-                                hyperbolic=params.hyperbolic)
+    with jax.default_device(jax.devices("cpu")[0]):
+        state = tr.init_train_state(model_params, lr=params.lr,
+                                    hyperbolic=params.hyperbolic)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+    else:
+        state = jax.device_put(state, jax.devices()[0])
 
     start_epoch = 0
     if params.resume:
