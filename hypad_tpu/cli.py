@@ -14,6 +14,7 @@ Mirrors the reference surface:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -71,22 +72,20 @@ def cmd_train(params, config_path):
             start_epoch = tag
             print(f"resumed from epoch {tag}")
 
-    def log_cb(epoch, m):
-        rec_name = "Hyperbolic loss" if params.hyperbolic else "Eucl mse loss"
-        print(f"Encoder decoder training done in epoch {epoch - 1}")
-        print(f"{rec_name} {m['rec_loss']:.6f}")
-        print(f"critic x loss {m['critic_x_loss']:.3f} "
-              f"critic z loss {m['critic_z_loss']:.3f} \n"
-              f"decoder loss {m['decoder_loss']:.3f}\n")
+    from hypad_tpu.utils.profiling import MetricsLogger, stage
+
+    log_cb = MetricsLogger(path=os.path.join(path, "train_log.jsonl"),
+                           hyperbolic=params.hyperbolic)
 
     t0 = time.time()
-    state = tr.train_tadgan(
-        state, train_data.X, lr=params.lr, hyperbolic=params.hyperbolic,
-        batch_size=params.batch_size, n_epochs=params.epochs,
-        seed=params.seed, mesh=mesh, start_epoch=start_epoch,
-        log_cb=log_cb,
-        checkpoint_cb=lambda e, s: ck.save_state(path, s, e),
-    )
+    with stage("train"):
+        state = tr.train_tadgan(
+            state, train_data.X, lr=params.lr, hyperbolic=params.hyperbolic,
+            batch_size=params.batch_size, n_epochs=params.epochs,
+            seed=params.seed, mesh=mesh, start_epoch=start_epoch,
+            log_cb=log_cb,
+            checkpoint_cb=lambda e, s: ck.save_state(path, s, e),
+        )
     wall = time.time() - t0
     trained = max(params.epochs - start_epoch, 1)
     print(f"training wall-clock: {wall:.2f}s "

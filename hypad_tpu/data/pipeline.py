@@ -173,7 +173,8 @@ class SignalData:
 
 def load_signal_dataset(path: str, interval: float = 21600,
                         window_size: int = 100, yahoo: bool = False,
-                        cache_dir: Optional[str] = None) -> SignalData:
+                        cache_dir: Optional[str] = None,
+                        engine: str = "auto") -> SignalData:
     """CSV -> SignalData, replicating SignalDataset (utils/dataloader.py:61-97).
 
     Yahoo CSVs (columns value/is_anomaly or value/anomaly) are detrended,
@@ -197,6 +198,23 @@ def load_signal_dataset(path: str, interval: float = 21600,
             base = os.path.basename(path)[:-4] + "_known_anomalies.csv"
             known.to_csv(os.path.join(cache_dir, base))
         df = df[["timestamp", "value"]]
+
+    if engine in ("auto", "native"):
+        # native C++ single-pass core (native/pipeline.cpp); identical
+        # numerics, parity-tested in tests/test_native.py
+        from hypad_tpu.data import native
+
+        res = native.prepare_univariate(
+            df["timestamp"].values, df["value"].values, interval,
+            window_size=window_size)
+        if res is not None:
+            out_X, out_y, X_index, y_index, index = res
+            return SignalData(X=out_X, y=out_y, X_index=X_index,
+                              y_index=y_index, index=index,
+                              known_anomalies=known)
+        if engine == "native":
+            raise RuntimeError("native pipeline unavailable or signal too "
+                               "short; build native/ or use engine='numpy'")
 
     agg, index = time_segments_aggregate(
         df["value"].values, df["timestamp"].values, interval
