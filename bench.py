@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_EPOCH_SECONDS = 2.247       # PyTorch-CPU reference, Yahoo A1 hyperbolic
 REF_DETECT_WPS = 392.6          # PyTorch-CPU reference detection throughput
 
-N_TIMED_EPOCHS = 5
+N_TIMED_EPOCHS = 20
 
 
 def main():
@@ -50,17 +50,19 @@ def main():
                              hyperbolic=True)
         state = tr.init_train_state(params, lr=5e-4, hyperbolic=True)
     state = jax.device_put(state, jax.devices()[0])
-    epoch_fn = tr.build_epoch_fn(5e-4, True, 64, mesh=mesh)
+    # production configuration: N epochs fused into one device program
+    multi_fn = tr.build_multi_epoch_fn(5e-4, True, 64, N_TIMED_EPOCHS,
+                                       mesh=mesh)
 
-    # warmup / compile
+    # warmup / compile; fetching a metric VALUE forces real completion
+    # (block_until_ready alone can return early on tunneled backends)
     key = jax.random.PRNGKey(1)
-    state, m = epoch_fn(state, X, key)
-    jax.block_until_ready(m["decoder_loss"])
+    state, m = multi_fn(state, X, jax.random.fold_in(key, 1000))
+    float(m["decoder_loss"][-1])
 
     t0 = time.time()
-    for i in range(N_TIMED_EPOCHS):
-        state, m = epoch_fn(state, X, jax.random.fold_in(key, i))
-    jax.block_until_ready(m["decoder_loss"])
+    state, m = multi_fn(state, X, jax.random.fold_in(key, 0))
+    final_loss = float(m["decoder_loss"][-1])
     epoch_s = (time.time() - t0) / N_TIMED_EPOCHS
 
     # detection throughput (scoring pipeline, warm)

@@ -67,10 +67,12 @@ def test_params_actually_update():
     X = _toy_windows(n=64)
     params = init_tadgan(jax.random.PRNGKey(0), hyperbolic=False)
     state0 = tr.init_train_state(params, lr=5e-4, hyperbolic=False)
+    # snapshot before the epoch: the epoch fn donates its input buffers
+    before = jax.device_get(state0.params)
     epoch_fn = tr.build_epoch_fn(5e-4, False, 32)
     state1, _ = epoch_fn(state0, jnp.asarray(X), jax.random.PRNGKey(1))
     for mod in ("encoder", "decoder", "critic_x", "critic_z"):
-        l0 = jax.tree_util.tree_leaves(state0.params[mod])
+        l0 = jax.tree_util.tree_leaves(before[mod])
         l1 = jax.tree_util.tree_leaves(state1.params[mod])
         changed = any(not np.allclose(a, b) for a, b in zip(l0, l1))
         assert changed, f"{mod} params did not update"
