@@ -114,11 +114,23 @@ def _critic_antidiag(critic, n_windows, width):
     return jnp.where(mask, vals, 0.0), mask
 
 
-@functools.partial(jax.jit, static_argnames=("width", "smooth_window"))
-def _critic_scores_device(critic, width, smooth_window):
+def _use_pallas_kde():
+    import os
+
+    return os.environ.get("HYPAD_KDE_PALLAS", "0") == "1"
+
+
+@functools.partial(jax.jit, static_argnames=("width", "smooth_window",
+                                             "use_pallas"))
+def _critic_scores_device(critic, width, smooth_window, use_pallas=False):
     n = critic.shape[0]
     vals, mask = _critic_antidiag(critic, n, width)
-    kde_max = kde_argmax_rows(vals, mask)
+    if use_pallas:
+        from hypad_tpu.ops.kde_pallas import kde_argmax_rows_pallas
+
+        kde_max = kde_argmax_rows_pallas(vals, mask)
+    else:
+        kde_max = kde_argmax_rows(vals, mask)
     # _compute_critic_score (:307-333)
     lq = jnp.quantile(kde_max, 0.25)
     uq = jnp.quantile(kde_max, 0.75)
@@ -136,7 +148,8 @@ def final_critic_scores(critic_score, true_signal):
     n, w = true_signal.shape
     smooth_window = math.trunc(n * 0.01)
     out = _critic_scores_device(jnp.asarray(critic_score, jnp.float32), w,
-                                max(smooth_window, 1))
+                                max(smooth_window, 1),
+                                use_pallas=_use_pallas_kde())
     return np.asarray(out)
 
 
