@@ -47,16 +47,26 @@ def _kernel(vals_ref, mask_ref, kde_ref, use_ref):
     h2_safe = jnp.where(h2 > 0, h2, 1.0)
 
     diff = v[:, :, None] - v[:, None, :]  # (TILE_T, Wp, Wp)
-    pair = m[:, :, None] & m[:, None, :]
-    dens = jnp.sum(
-        jnp.where(pair, jnp.exp(-(diff * diff)
-                                / (2.0 * h2_safe[:, None, None])), 0.0),
-        axis=-1,
-    )
+    # pair mask as f32 products — Mosaic cannot broadcast i1 into a new
+    # minor dim, so keep all 3-D tensors 32-bit
+    kern = (jnp.exp(-(diff * diff) / (2.0 * h2_safe[:, None, None]))
+            * mf[:, :, None] * mf[:, None, :])
+    dens = jnp.sum(kern, axis=-1)
     dens = jnp.where(m, dens, -jnp.inf)
-    arg = jnp.argmax(dens, axis=-1)
-    kde_ref[:] = jnp.take_along_axis(v, arg[:, None], axis=-1)[:, 0]
-    use_ref[:] = ((cnt > 1.0) & (var > 0.0)).astype(jnp.float32)
+    # first-max select (Mosaic has neither row gather nor cumsum): find the
+    # smallest column index attaining the row max — np.argmax first-wins
+    maxd = jnp.max(dens, axis=-1, keepdims=True)
+    is_best = dens == maxd
+    col = jax.lax.broadcasted_iota(jnp.int32, dens.shape, 1)
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    first_idx = jnp.min(jnp.where(is_best, col, big), axis=-1, keepdims=True)
+    first = col == first_idx
+    kde_val = jnp.sum(jnp.where(first, v, 0.0), axis=-1)
+    use_val = ((cnt > 1.0) & (var > 0.0)).astype(jnp.float32)
+    # outputs are (TILE_T, 128) lane-broadcast rows: rank-1 outputs collide
+    # with XLA's T(1024) layout for flat f32 vectors
+    kde_ref[:] = jnp.broadcast_to(kde_val[:, None], kde_ref.shape)
+    use_ref[:] = jnp.broadcast_to(use_val[:, None], use_ref.shape)
 
 
 def _pallas_kde(vals, mask, interpret=False):
@@ -80,18 +90,18 @@ def _pallas_kde(vals, mask, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_T,), lambda i: (i,),
+            pl.BlockSpec((TILE_T, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_T,), lambda i: (i,),
+            pl.BlockSpec((TILE_T, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Tp,), vals.dtype),
-            jax.ShapeDtypeStruct((Tp,), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, 128), vals.dtype),
+            jax.ShapeDtypeStruct((Tp, 128), jnp.float32),
         ),
         interpret=interpret,
     )(vp, mp)
-    return kde[:T], use[:T] > 0
+    return kde[:T, 0], use[:T, 0] > 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

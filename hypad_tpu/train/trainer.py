@@ -106,49 +106,49 @@ def _whole_batch_gp(critic_fn, interp):
     return (gn - 1.0) ** 2
 
 
-def critic_x_loss(cx_params, gen_params, x, key, hyperbolic):
+def critic_x_loss(cx_params, gen_params, x, key, hyperbolic, training=True):
     """Reference critic_x_iteration (train.py:18-104). x: (B, W)."""
     B = x.shape[0]
     k_drop1, k_drop2, k_drop3, k_z, k_alpha, k_ddrop = jax.random.split(key, 6)
-    valid_x = critic_x_apply(cx_params, x, training=True, rng=k_drop1)
+    valid_x = critic_x_apply(cx_params, x, training=training, rng=k_drop1)
     z = jax.random.normal(k_z, (B, gen_params["decoder"]["dense1"]["w"].shape[1]))
     dec_out = decoder_apply(gen_params["decoder"], z, hyperbolic=hyperbolic,
-                            training=True, rng=k_ddrop)
+                            training=training, rng=k_ddrop)
     x_fake = dec_out[0] if hyperbolic else dec_out
-    fake_x = critic_x_apply(cx_params, x_fake, training=True, rng=k_drop2)
+    fake_x = critic_x_apply(cx_params, x_fake, training=training, rng=k_drop2)
 
     wl = jnp.mean(fake_x) - jnp.mean(valid_x)
 
     alpha = jax.random.uniform(k_alpha, x.shape)
     interp = alpha * jax.lax.stop_gradient(x) + (1.0 - alpha) * jax.lax.stop_gradient(x_fake)
     gp = _whole_batch_gp(
-        lambda t: critic_x_apply(cx_params, t, training=True, rng=k_drop3),
+        lambda t: critic_x_apply(cx_params, t, training=training, rng=k_drop3),
         interp,
     )
     return wl + GP_WEIGHT * gp
 
 
-def critic_z_loss(cz_params, gen_params, x, key, hyperbolic):
+def critic_z_loss(cz_params, gen_params, x, key, hyperbolic, training=True):
     """Reference critic_z_iteration (train.py:107-186)."""
     B = x.shape[0]
     latent = gen_params["decoder"]["dense1"]["w"].shape[1]
     k_drop1, k_drop2, k_drop3, k_z, k_alpha = jax.random.split(key, 5)
     z_enc = encoder_apply(gen_params["encoder"], x)
-    fake_z = critic_z_apply(cz_params, z_enc, training=True, rng=k_drop1)
+    fake_z = critic_z_apply(cz_params, z_enc, training=training, rng=k_drop1)
     z = jax.random.normal(k_z, (B, latent))
-    valid_z = critic_z_apply(cz_params, z, training=True, rng=k_drop2)
+    valid_z = critic_z_apply(cz_params, z, training=training, rng=k_drop2)
     wl = jnp.mean(fake_z) - jnp.mean(valid_z)
 
     alpha = jax.random.uniform(k_alpha, z.shape)
     interp = alpha * jax.lax.stop_gradient(z) + (1.0 - alpha) * jax.lax.stop_gradient(z_enc)
     gp = _whole_batch_gp(
-        lambda t: critic_z_apply(cz_params, t, training=True, rng=k_drop3),
+        lambda t: critic_z_apply(cz_params, t, training=training, rng=k_drop3),
         interp,
     )
     return wl + GP_WEIGHT * gp
 
 
-def generator_loss(gen_params, cx_params, cz_params, x, key, hyperbolic):
+def generator_loss(gen_params, cx_params, cz_params, x, key, hyperbolic, training=True):
     """Reference decoder_iteration (train.py:189-249). Returns
     (loss, (rec_metric,)) where rec_metric is hyper_loss or mse."""
     B = x.shape[0]
@@ -156,26 +156,26 @@ def generator_loss(gen_params, cx_params, cz_params, x, key, hyperbolic):
     (k_z, k_cz, k_cx, k_ddrop1, k_ddrop2) = jax.random.split(key, 5)
 
     z_enc = encoder_apply(gen_params["encoder"], x)
-    fake_gen_z = critic_z_apply(cz_params, z_enc, training=True, rng=k_cz)
+    fake_gen_z = critic_z_apply(cz_params, z_enc, training=training, rng=k_cz)
 
     z = jax.random.normal(k_z, (B, latent))
     dec_out = decoder_apply(gen_params["decoder"], z, hyperbolic=hyperbolic,
-                            training=True, rng=k_ddrop1)
+                            training=training, rng=k_ddrop1)
     x_gen_ = dec_out[0] if hyperbolic else dec_out
-    fake_gen_x = critic_x_apply(cx_params, x_gen_, training=True, rng=k_cx)
+    fake_gen_x = critic_x_apply(cx_params, x_gen_, training=training, rng=k_cx)
 
     adv = -jnp.mean(fake_gen_x) - jnp.mean(fake_gen_z)
 
     if hyperbolic:
         x_gen_rec, _ = decoder_apply(gen_params["decoder"], z_enc,
-                                     hyperbolic=True, training=True,
+                                     hyperbolic=True, training=training,
                                      rng=k_ddrop2)
         hyper_x = mobius_linear(gen_params["decoder"]["hyperbolic_linear"], x)
         dist = st.acosh_poincare_distance(x_gen_rec, hyper_x)
         rec = jnp.sum(dist) / B          # train.py:232
     else:
         x_gen_rec = decoder_apply(gen_params["decoder"], z_enc,
-                                  training=True, rng=k_ddrop2)
+                                  training=training, rng=k_ddrop2)
         rec = jnp.mean((x - x_gen_rec) ** 2)  # nn.MSELoss, train.py:243
     return REC_WEIGHT * rec + adv, rec
 
