@@ -106,6 +106,37 @@ def plot_signal_with_anomalies(df, anomalies=(), signal="signal", path=""):
     return out
 
 
+def plot_error(series_groups, out_path=None):
+    """Stacked error panels (reference plot_error, utils/utils.py:139-163):
+    each entry is either a pair of series (drawn together on a double-height
+    panel) or a single series (drawn red)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.gridspec as gridspec
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(30, 6))
+    gs = gridspec.GridSpec(3, 1)
+    gs.update(wspace=0.025, hspace=0.05)
+    i = 0
+    for group in series_groups:
+        if isinstance(group, (list, tuple)) and len(group) == 2:
+            ax = plt.subplot(gs[i:i + 2])
+            for line in group:
+                ax.plot(range(len(line)), line)
+            i += 1
+        else:
+            ax = plt.subplot(gs[i])
+            ax.plot(range(len(group)), group, color="tab:red")
+        i += 1
+        ax.set_xticklabels([])
+    if out_path:
+        fig.savefig(out_path)
+    plt.close(fig)
+    return fig
+
+
 def plot_rolling_windows(X, window=100, k=5, out_path=None):
     """Grid of sample rolling windows (reference plot_rws,
     utils/utils.py:226-262, without its duplicated-first-panel quirks)."""
