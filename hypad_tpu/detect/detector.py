@@ -128,13 +128,16 @@ def _euclidean_comb(combination):
 
 
 def _multivariate_ground_truth(test_data):
+    """Reference multivariate GT formatting: ``casas_anomalies`` run
+    extraction with its off-by-one end index and dropped trailing run
+    (utils/anomaly_detection_utils.py:279-298)."""
     y = getattr(test_data, "y", None)
     if y is None:
         return pd.DataFrame(columns=["start", "end"])
-    y = np.asarray(y).reshape(-1)[: len(test_data.X)]
-    from hypad_tpu.data.pipeline import extract_known_anomalies
+    from hypad_tpu.data.fetch import casas_anomalies
 
-    return extract_known_anomalies(y, np.arange(len(y)))
+    y = np.asarray(y).reshape(-1)[: len(test_data.X)]
+    return casas_anomalies(y, np.arange(len(y)))
 
 
 def _append_results_csv(params, confusion):
