@@ -40,7 +40,19 @@ def restore_state(run_dir, tag) -> TrainState:
     path = _ckpt_path(run_dir, tag)
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(path)
-    return TrainState(**restored)
+    # orbax round-trips namedtuples as plain dicts; rebuild the typed states
+    from hypad_tpu.optim.radam import RAdamState
+
+    def as_radam(d):
+        return d if isinstance(d, RAdamState) else RAdamState(**d)
+
+    return TrainState(
+        params=restored["params"],
+        opt_cx=as_radam(restored["opt_cx"]),
+        opt_cz=as_radam(restored["opt_cz"]),
+        opt_gen=as_radam(restored["opt_gen"]),
+        epoch=restored["epoch"],
+    )
 
 
 def latest_epoch_tag(run_dir):
