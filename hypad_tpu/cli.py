@@ -19,7 +19,6 @@ import sys
 import time
 
 import jax
-import numpy as np
 
 
 def _build(params):

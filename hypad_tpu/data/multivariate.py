@@ -18,7 +18,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from hypad_tpu.data.pipeline import SignalData, impute_mean, minmax_scale
+from hypad_tpu.data.pipeline import impute_mean, minmax_scale
 
 
 class MultivariateData:

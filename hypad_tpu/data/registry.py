@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 
 from hypad_tpu.data import multivariate as mv
-from hypad_tpu.data.pipeline import SignalData, load_signal_dataset
+from hypad_tpu.data.pipeline import load_signal_dataset
 
 YAHOO_DATASETS = ("A1", "A2", "A3", "A4")
 MULTIVARIATE_DATASETS = ("CASAS_", "new_CASAS", "SWAT", "WADI", "CASAS",

@@ -59,23 +59,32 @@ def detect(params, state_params, test_data, run_path, read_path="",
         true_index = np.asarray(test_data.index)
         artifacts.save_inference(run_path, inference, true_index)
 
-    # ---- scores
+    # ---- scores (cached per combination/rec_error when params.load, the
+    # score-pickle equivalent of utils/anomaly_detection_utils.py:229-238)
     if params.signal == "multivariate":
-        final_scores = sc.score_anomalies_multivariate(
-            inference, params.combination, params.hyperbolic)
+        final_scores = artifacts.cache_scores(
+            run_path, f"scores_mv_{params.combination}",
+            lambda: sc.score_anomalies_multivariate(
+                inference, params.combination, params.hyperbolic),
+            enabled=params.load)
         intervals = iv.find_anomalies(
             np.asarray(final_scores).reshape(-1), np.arange(len(final_scores)),
             window_size_portion=0.2, window_step_size_portion=0.1,
             fixed_threshold=True, anomaly_padding=200)
     else:
         if params.hyperbolic:
-            final_scores = sc.score_anomalies_hyperbolic(
+            compute = lambda: sc.score_anomalies_hyperbolic(  # noqa: E731
                 inference, params.combination)
+            cache_key = f"scores_hyper_{params.combination}"
         else:
-            final_scores = sc.score_anomalies_euclidean(
+            compute = lambda: sc.score_anomalies_euclidean(  # noqa: E731
                 inference.true_signal, inference.recons_signal,
                 inference.critic_score, rec_error_type=params.rec_error,
                 comb=_euclidean_comb(params.combination))
+            cache_key = (f"scores_eucl_{params.rec_error}_"
+                         f"{_euclidean_comb(params.combination)}")
+        final_scores = artifacts.cache_scores(run_path, cache_key, compute,
+                                              enabled=params.load)
         intervals = iv.find_anomalies(
             np.asarray(final_scores).reshape(-1), true_index,
             window_size_portion=0.33, window_step_size_portion=0.1,

@@ -13,7 +13,6 @@ that calls them, vectorized where the reference loops.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 

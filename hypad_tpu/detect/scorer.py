@@ -41,7 +41,7 @@ from hypad_tpu.models.tadgan import (
 from hypad_tpu.ops.dtw import dtw_errors
 from hypad_tpu.ops.kde import kde_argmax_rows
 from hypad_tpu.ops.rolling import rolling_mean_centered, rolling_trapz_centered, zscore
-from hypad_tpu.ops.unroll import antidiagonal_gather, true_series, unroll_median
+from hypad_tpu.ops.unroll import true_series, unroll_median
 
 CRITIC_COMBOS = ("mult", "uncertainty", "sum", "sum_uncertainty", "critic",
                  "critic_uncertainty")

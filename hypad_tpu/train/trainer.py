@@ -38,7 +38,6 @@ Faithfulness notes (quirks preserved intentionally):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -53,7 +52,7 @@ from hypad_tpu.models.tadgan import (
     mobius_linear,
 )
 from hypad_tpu.manifold import stereographic as st
-from hypad_tpu.optim.radam import adam, manifold_mask, riemannian_adam
+from hypad_tpu.optim.radam import adam, riemannian_adam
 
 N_CRITICS = 5          # full passes per epoch (train.py:301)
 GP_WEIGHT = 10.0       # train.py:100,:182

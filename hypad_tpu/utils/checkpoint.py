@@ -18,7 +18,6 @@ import os
 import shutil
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from hypad_tpu.train.trainer import TrainState
