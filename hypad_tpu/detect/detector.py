@@ -77,12 +77,15 @@ def detect(params, state_params, test_data, run_path, read_path="",
                 inference, params.combination)
             cache_key = f"scores_hyper_{params.combination}"
         else:
+            # the euclidean score_anomalies only knows mult/sum/rec/critic
+            # and raises on anything else (:566-570) — loud, like the
+            # reference, rather than silently remapping
             compute = lambda: sc.score_anomalies_euclidean(  # noqa: E731
                 inference.true_signal, inference.recons_signal,
                 inference.critic_score, rec_error_type=params.rec_error,
-                comb=_euclidean_comb(params.combination))
+                comb=params.combination)
             cache_key = (f"scores_eucl_{params.rec_error}_"
-                         f"{_euclidean_comb(params.combination)}")
+                         f"{params.combination}")
         final_scores = artifacts.cache_scores(run_path, cache_key, compute,
                                               enabled=params.load)
         intervals = iv.find_anomalies(
@@ -127,13 +130,6 @@ def detect(params, state_params, test_data, run_path, read_path="",
             np.asarray(final_scores), run_path)
 
     return result
-
-
-def _euclidean_comb(combination):
-    """The euclidean score_anomalies only knows mult/sum/rec/critic
-    (:553-570); richer modes are hyperbolic-only."""
-    return combination if combination in ("mult", "sum", "rec", "critic") \
-        else "mult"
 
 
 def _multivariate_ground_truth(test_data):

@@ -159,9 +159,9 @@ def final_critic_scores(critic_score, true_signal):
 
 @functools.partial(jax.jit, static_argnames=("rec_error_type",
                                              "smoothing_window",
-                                             "score_window"))
+                                             "score_window", "smooth"))
 def _reconstruction_errors_device(y, y_hat, rec_error_type, smoothing_window,
-                                  score_window=10):
+                                  score_window=10, smooth=True):
     true = true_series(y)
     pred = unroll_median(y_hat)
     if rec_error_type == "point":
@@ -174,25 +174,27 @@ def _reconstruction_errors_device(y, y_hat, rec_error_type, smoothing_window,
         errors = dtw_errors(true, pred, score_window)
     else:
         raise ValueError(f"unknown rec_error_type {rec_error_type!r}")
-    smoothed = rolling_mean_centered(errors, smoothing_window,
-                                     max(smoothing_window // 2, 1))
-    return smoothed, true, pred
+    if smooth:
+        errors = rolling_mean_centered(errors, smoothing_window,
+                                       max(smoothing_window // 2, 1))
+    return errors, true, pred
 
 
 def reconstruction_errors(y, y_hat, rec_error_type="point", score_window=10,
                           smoothing_window=0.01, smooth=True):
     """Reference reconstruction_errors (:866-962). y/y_hat: (N, W) arrays.
-    Returns (errors (T,), predictions (T,))."""
+    Returns (errors (T,), predictions (T,)).
+
+    NOTE the reference's min(.., 200) cap applies only when smoothing_window
+    arrives as a float proportion (:905-906); integer windows pass through
+    uncapped — preserved here (score_anomalies passes trunc(N*0.01) as int).
+    """
     if isinstance(smoothing_window, float):
         smoothing_window = min(math.trunc(len(y) * smoothing_window), 200)
     errors, true, pred = _reconstruction_errors_device(
         jnp.asarray(y, jnp.float32), jnp.asarray(y_hat, jnp.float32),
-        rec_error_type, max(smoothing_window, 1), score_window)
-    if not smooth:
-        # recompute unsmoothed (rare path; reference smooth=True everywhere)
-        _, true, pred = _reconstruction_errors_device(
-            jnp.asarray(y, jnp.float32), jnp.asarray(y_hat, jnp.float32),
-            rec_error_type, 1, score_window)
+        rec_error_type, max(smoothing_window, 1), score_window,
+        smooth=smooth)
     return np.asarray(errors), np.asarray(pred)
 
 
@@ -244,7 +246,11 @@ def score_anomalies_euclidean(y, y_hat, critic, rec_error_type="point",
     (artifact caching lives in utils/artifacts.py). Returns final (T,) scores.
     """
     critic_scores = final_critic_scores(critic, y)
-    errors, _ = reconstruction_errors(y, y_hat, rec_error_type)
+    # score_anomalies passes error_smooth_window = trunc(N*0.01) as an INT
+    # (:459-460), which bypasses reconstruction_errors' 200 cap
+    errors, _ = reconstruction_errors(
+        y, y_hat, rec_error_type,
+        smoothing_window=math.trunc(len(y) * 0.01))
     rec_scores = _zscore_clip(errors)
     if comb == "mult":
         return np.multiply(critic_scores, rec_scores)

@@ -110,14 +110,16 @@ def dist2hyperplane_apply(params, x, k=-1.0):
     return d * jnp.exp(params["scale"])
 
 
-def pairwise_poincare_distance(x, y, eps_ball=1e-5, eps_acosh=1e-7):
+def pairwise_poincare_distance(x, y):
     """All-pairs Poincare distance (reference
-    hyperspace/poincare_distance.py:5-48): clamps squared norms to
-    <= 1 - eps_ball, then acosh(1 + 2 d2 / ((1-|x|^2)(1-|y|^2)) + eps).
+    hyperspace/poincare_distance.py:5-48): squared norms floored at 1e-5
+    ("they really like to die to zero"), pairwise squared distances clamped
+    to [1e-7, inf), then acosh(1 + 2 d2 / ((1-|x|^2)(1-|y|^2))).
     x: (N, D), y: (M, D) -> (N, M)."""
-    x2 = jnp.clip(jnp.sum(x * x, -1), 0.0, 1.0 - eps_ball)
-    y2 = jnp.clip(jnp.sum(y * y, -1), 0.0, 1.0 - eps_ball)
+    x2 = jnp.maximum(jnp.sum(x * x, -1), 1e-5)
+    y2 = jnp.maximum(jnp.sum(y * y, -1), 1e-5)
     sq = (jnp.sum(x * x, -1)[:, None] - 2.0 * x @ y.T
           + jnp.sum(y * y, -1)[None, :])
-    arg = 1.0 + 2.0 * sq / ((1.0 - x2)[:, None] * (1.0 - y2)[None, :]) + eps_acosh
-    return jnp.arccosh(jnp.maximum(arg, 1.0))
+    sq = jnp.clip(sq, 1e-7, None)
+    arg = 1.0 + 2.0 * sq / ((1.0 - x2)[:, None] * (1.0 - y2)[None, :])
+    return jnp.arccosh(arg)

@@ -28,15 +28,20 @@ def _window_bounds(n, window):
 def rolling_mean_centered(x, window, min_periods=None):
     """pd.Series(x).rolling(window, center=True, min_periods).mean().
 
-    NaN (where count < min_periods) is propagated as jnp.nan.
+    NaN inputs are skipped like pandas (mean over the non-NaN observations;
+    NaN output only where the non-NaN count < min_periods).
     """
     if min_periods is None:
         min_periods = window
     n = x.shape[0]
-    csum = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(x)])
+    finite = jnp.isfinite(x)
+    filled = jnp.where(finite, x, 0.0)
+    csum = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(filled)])
+    ccnt = jnp.concatenate([
+        jnp.zeros((1,), x.dtype), jnp.cumsum(finite.astype(x.dtype))])
     start, end = _window_bounds(n, window)
     sums = csum[end] - csum[start]
-    cnt = (end - start).astype(x.dtype)
+    cnt = ccnt[end] - ccnt[start]
     mean = sums / jnp.maximum(cnt, 1.0)
     return jnp.where(cnt >= min_periods, mean, jnp.nan)
 

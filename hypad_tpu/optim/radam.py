@@ -94,7 +94,7 @@ def riemannian_adam(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
 
     def update(grads, state, params):
         if mask is False:  # sentinel used by :func:`adam`: no manifold leaves
-            m = jax.tree_util.tree_map(lambda _: False, params)
+            m = _all_false_like(params)
         elif mask is not None:
             m = mask
         else:
