@@ -97,10 +97,12 @@ def cmd_train(params, config_path):
 
 def _run_detection(params, model_params, test_data, path, read_path):
     from hypad_tpu.detect.detector import detect
+    from hypad_tpu.utils.profiling import stage
 
     t0 = time.time()
-    result = detect(params, model_params, test_data, path,
-                    read_path=read_path)
+    with stage("detect"):
+        result = detect(params, model_params, test_data, path,
+                        read_path=read_path)
     wall = time.time() - t0
     n_windows = len(test_data.X)
     print(f"detection wall-clock: {wall:.2f}s "
@@ -129,6 +131,8 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser(description="HypAD-TPU")
     parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("--profile", action="store_true",
+                        help="print per-stage wall-clock report at exit")
     args = parser.parse_args(argv)
 
     from hypad_tpu.utils.config import load_config
@@ -141,6 +145,11 @@ def main(argv=None):
         cmd_train(params, args.config)
     else:
         cmd_detect(params, args.config)
+
+    if args.profile:
+        from hypad_tpu.utils.profiling import report
+
+        print(report())
 
 
 if __name__ == "__main__":
