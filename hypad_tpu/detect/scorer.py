@@ -177,7 +177,7 @@ def _reconstruction_errors_device(y, y_hat, rec_error_type, smoothing_window,
     if smooth:
         errors = rolling_mean_centered(errors, smoothing_window,
                                        max(smoothing_window // 2, 1))
-    return errors, true, pred
+    return errors, pred
 
 
 def reconstruction_errors(y, y_hat, rec_error_type="point", score_window=10,
@@ -191,10 +191,12 @@ def reconstruction_errors(y, y_hat, rec_error_type="point", score_window=10,
     """
     if isinstance(smoothing_window, float):
         smoothing_window = min(math.trunc(len(y) * smoothing_window), 200)
-    errors, true, pred = _reconstruction_errors_device(
+    # the window is unused when smooth=False; pin it so one executable serves
+    # every dataset size on that path
+    window = max(smoothing_window, 1) if smooth else 1
+    errors, pred = _reconstruction_errors_device(
         jnp.asarray(y, jnp.float32), jnp.asarray(y_hat, jnp.float32),
-        rec_error_type, max(smoothing_window, 1), score_window,
-        smooth=smooth)
+        rec_error_type, window, score_window, smooth=smooth)
     return np.asarray(errors), np.asarray(pred)
 
 

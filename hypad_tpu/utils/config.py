@@ -70,10 +70,21 @@ def load_config(path_or_dict) -> argparse.Namespace:
     return ns
 
 
+EUCLIDEAN_COMBINATIONS = ("mult", "sum", "rec", "critic")
+
+
 def validate(params):
     if params.combination not in VALID_COMBINATIONS:
         raise ValueError(
             f"combination {params.combination!r} not in {VALID_COMBINATIONS}")
+    if (not params.hyperbolic
+            and params.signal != "multivariate"
+            and params.combination not in EUCLIDEAN_COMBINATIONS):
+        # fail fast: the euclidean detector raises on these AFTER training
+        # (reference score_anomalies :566-570); reject at config time instead
+        raise ValueError(
+            f"combination {params.combination!r} requires hyperbolic: true "
+            f"(euclidean supports {EUCLIDEAN_COMBINATIONS})")
     if params.rec_error not in VALID_REC_ERRORS:
         raise ValueError(
             f"rec_error {params.rec_error!r} not in {VALID_REC_ERRORS}")
