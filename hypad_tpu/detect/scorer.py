@@ -115,9 +115,16 @@ def _critic_antidiag(critic, n_windows, width):
 
 
 def _use_pallas_kde():
+    """KDE backend selection: the hand-tiled Mosaic kernel by default on TPU
+    (0.05s warm at 20k rows, on-chip-validated bit-exact), the jnp path
+    elsewhere (compiled Pallas is TPU-only; interpreter would be slow).
+    Override with HYPAD_KDE_PALLAS=1/0."""
     import os
 
-    return os.environ.get("HYPAD_KDE_PALLAS", "0") == "1"
+    flag = os.environ.get("HYPAD_KDE_PALLAS")
+    if flag is not None:
+        return flag == "1"
+    return "TPU" in jax.devices()[0].device_kind.upper()
 
 
 @functools.partial(jax.jit, static_argnames=("width", "smooth_window",
