@@ -185,12 +185,16 @@ def load_signal_dataset(path: str, interval: float = 21600,
     df = pd.read_csv(path)
     known = None
     if yahoo:
+        df["value"] = detrend(df["value"].values)
+        # synthetic timestamps are assigned BEFORE the anomaly-column
+        # fallback — A3/A4 CSVs have 'timestamps'/'anomaly' columns and the
+        # reference's except-branch selects the freshly assigned 'timestamp'
+        # (utils/dataloader.py:65-78 then :14-21)
+        df["timestamp"] = synthetic_timestamps(len(df))
         if "is_anomaly" not in df.columns and "anomaly" in df.columns:
             df = df[["timestamp", "value", "anomaly"]].copy()
             df = df.sort_values(by=["timestamp"])
             df.columns = ["timestamp", "value", "is_anomaly"]
-        df["value"] = detrend(df["value"].values)
-        df["timestamp"] = synthetic_timestamps(len(df))
         known = extract_known_anomalies(df["is_anomaly"].values,
                                         df["timestamp"].values)
         if cache_dir:
