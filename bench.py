@@ -33,7 +33,7 @@ def main():
 
     from hypad_tpu.data.pipeline import load_signal_dataset
     from hypad_tpu.models.tadgan import init_tadgan
-    from hypad_tpu.parallel.mesh import make_mesh
+    from hypad_tpu.parallel.mesh import batch_multiple, make_mesh
     from hypad_tpu.train import trainer as tr
     from hypad_tpu.detect import scorer as sc
 
@@ -50,8 +50,10 @@ def main():
                              hyperbolic=True)
         state = tr.init_train_state(params, lr=5e-4, hyperbolic=True)
     state = jax.device_put(state, jax.devices()[0])
-    # production configuration: N epochs fused into one device program
-    multi_fn = tr.build_multi_epoch_fn(5e-4, True, 64, N_TIMED_EPOCHS,
+    # production configuration: N epochs fused into one device program;
+    # batch rounded to a dp-divisible size (64 on a single chip)
+    batch = batch_multiple(64, mesh)
+    multi_fn = tr.build_multi_epoch_fn(5e-4, True, batch, N_TIMED_EPOCHS,
                                        mesh=mesh)
 
     # warmup / compile; fetching a metric VALUE forces real completion

@@ -51,23 +51,33 @@ def cmd_train(params, config_path):
     ck.snapshot_config(path, config_path)
 
     mesh = make_mesh(params.devices)
+    from hypad_tpu.parallel.mesh import batch_multiple
+
+    # round the batch down to a dp-divisible size so XLA shards evenly
+    # (the reference's drop_last already trims ragged batches)
+    batch_size = batch_multiple(params.batch_size, mesh)
     model_params = _init_models(params)
     with jax.default_device(jax.devices("cpu")[0]):
         state = tr.init_train_state(model_params, lr=params.lr,
                                     hyperbolic=params.hyperbolic)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
 
-        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
-    else:
-        state = jax.device_put(state, jax.devices()[0])
+    def put(st):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(st, NamedSharding(mesh, PartitionSpec()))
+        return jax.device_put(st, jax.devices()[0])
+
+    state = put(state)
 
     start_epoch = 0
     if params.resume:
-        # working resume (the reference's is a NameError, train.py:400-404)
+        # working resume (the reference's is a NameError, train.py:400-404);
+        # the restored host state needs the same replicated placement as the
+        # fresh one (restore_state returns host numpy arrays)
         tag = ck.latest_epoch_tag(path)
         if tag is not None:
-            state = ck.restore_state(path, tag)
+            state = put(ck.restore_state(path, tag))
             start_epoch = tag
             print(f"resumed from epoch {tag}")
 
@@ -80,7 +90,7 @@ def cmd_train(params, config_path):
     with stage("train"):
         state = tr.train_tadgan(
             state, train_data.X, lr=params.lr, hyperbolic=params.hyperbolic,
-            batch_size=params.batch_size, n_epochs=params.epochs,
+            batch_size=batch_size, n_epochs=params.epochs,
             seed=params.seed, mesh=mesh, start_epoch=start_epoch,
             log_cb=log_cb,
             checkpoint_cb=lambda e, s: ck.save_state(path, s, e),

@@ -50,8 +50,10 @@ def get_lib():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH):
-                _build()
+            # always invoke make: its mtime check rebuilds when pipeline.cpp
+            # is newer than the .so (the binary is not in version control),
+            # and is a no-op otherwise
+            _build()
             lib = ctypes.CDLL(_LIB_PATH)
             lib.hypad_prepare_univariate.restype = ctypes.POINTER(_HypadResult)
             lib.hypad_prepare_univariate.argtypes = [

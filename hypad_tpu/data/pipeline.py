@@ -245,30 +245,8 @@ def load_anomalies(signal: str, data_root: str) -> pd.DataFrame:
     return pd.DataFrame(json.loads(events), columns=["start", "end"])
 
 
-# ---------------------------------------------------------------------------
-# batching
-# ---------------------------------------------------------------------------
-
-def epoch_batches(rng: np.random.Generator, X: np.ndarray, batch_size: int,
-                  n_passes: int = 1) -> np.ndarray:
-    """Shuffled, drop-last batches for ``n_passes`` independent epochs-worth
-    of data, stacked as (n_passes, n_batches, B, ...). Matches the reference
-    DataLoader(batch_size, drop_last=True, shuffle=True) reshuffled per pass
-    (main.py:35-41; the 5 critic passes each iterate a fresh shuffle,
-    train.py:315-319)."""
-    n = len(X)
-    n_batches = n // batch_size
-    if n_batches == 0:
-        raise ValueError(f"dataset of {n} windows < batch_size {batch_size}")
-    out = np.empty((n_passes, n_batches, batch_size) + X.shape[1:], X.dtype)
-    for p in range(n_passes):
-        perm = rng.permutation(n)[: n_batches * batch_size]
-        out[p] = X[perm].reshape((n_batches, batch_size) + X.shape[1:])
-    return out
-
-
-def sequential_batches(X: np.ndarray, batch_size: int):
-    """Deterministic full-coverage batches (test loader: drop_last=False,
-    shuffle=False, main.py:42-48). Returns a list of arrays; the last may be
-    ragged."""
-    return [X[i:i + batch_size] for i in range(0, len(X), batch_size)]
+# batching lives on device: the trainer shuffles with jax.random.permutation
+# inside the fused epoch program (train/trainer.py:_shuffled_batches) and the
+# scorer batches its own inference chunks (detect/scorer.py:run_inference) —
+# the reference's DataLoader semantics (drop_last shuffled train batches,
+# sequential full-coverage test batches, main.py:35-48) are reproduced there.

@@ -111,7 +111,12 @@ def detect(params, state_params, test_data, run_path, read_path="",
         metrics = mt.compute_metrics(known_anomalies, pred_anomalies)
         result["confusion"] = confusion
         result["metrics"] = metrics
-    except Exception:
+    except ZeroDivisionError:
+        # the only failure the reference's bare except legitimately excuses:
+        # empty predictions / no ground truth -> undefined precision/recall
+        # (utils/anomaly_detection_utils.py:105-113). Anything else is a real
+        # regression in the metrics path and must propagate, not be silently
+        # reported as confusion=[0,0,0,0].
         result["confusion"] = [0, 0, 0, 0]
 
     # ---- cumulative results CSV (:115-126)

@@ -32,20 +32,21 @@ def _pad(intervals):
 
 
 def _overlap_segment(expected, observed):
-    tp, fp, fn = 0, 0, 0
-    observed_copy = list(observed)
-    for expected_seq in expected:
-        found = False
-        for observed_seq in observed:
-            if _overlap(expected_seq, observed_seq):
-                if not found:
-                    tp += 1
-                    found = True
-                if observed_seq in observed_copy:
-                    observed_copy.remove(observed_seq)
-        if not found:
+    """Set-matching counts (reference :579-599): a GT interval is one TP if
+    any prediction overlaps it (FN otherwise); a prediction is an FP only if
+    it overlaps no GT interval. A prediction overlapping several GT intervals
+    is consumed once; a GT interval hit by several predictions is still one
+    TP."""
+    hit = np.zeros(len(observed), dtype=bool)
+    tp = fn = 0
+    for exp in expected:
+        matches = [i for i, obs in enumerate(observed) if _overlap(exp, obs)]
+        if matches:
+            tp += 1
+            hit[matches] = True
+        else:
             fn += 1
-    fp += len(observed_copy)
+    fp = int(np.sum(~hit))
     return None, fp, fn, tp
 
 

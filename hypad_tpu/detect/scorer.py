@@ -151,7 +151,12 @@ def _critic_scores_device(critic, width, smooth_window, use_pallas=False):
 
 def final_critic_scores(critic_score, true_signal):
     """Reference final_critic_scores (:365-404): returns (T,) smoothed
-    critic anomaly scores, T = W + N - 1."""
+    critic anomaly scores, T = W + N - 1.
+
+    Documented divergence: for N < 100 windows trunc(N*0.01) is 0 and the
+    reference's pandas ``rolling(0).mean()`` raises; the window is floored
+    at 1 (identity smoothing) here so short signals score instead of
+    crashing. Identical for N >= 100 (see README)."""
     n, w = true_signal.shape
     smooth_window = math.trunc(n * 0.01)
     out = _critic_scores_device(jnp.asarray(critic_score, jnp.float32), w,
@@ -195,6 +200,10 @@ def reconstruction_errors(y, y_hat, rec_error_type="point", score_window=10,
     NOTE the reference's min(.., 200) cap applies only when smoothing_window
     arrives as a float proportion (:905-906); integer windows pass through
     uncapped — preserved here (score_anomalies passes trunc(N*0.01) as int).
+
+    Documented divergence: a resolved window of 0 (signals shorter than 100
+    windows) is floored at 1 instead of raising like the reference's pandas
+    ``rolling(0)`` (see README).
     """
     if isinstance(smoothing_window, float):
         smoothing_window = min(math.trunc(len(y) * smoothing_window), 200)

@@ -90,19 +90,18 @@ def test_load_anomalies():
     assert (df["end"] >= df["start"]).all()
 
 
-def test_epoch_batches_shapes_and_coverage():
-    rng = np.random.default_rng(0)
-    X = np.arange(130, dtype=np.float32)[:, None] * np.ones((1, 4), np.float32)
-    batches = dp.epoch_batches(rng, X, batch_size=32, n_passes=5)
-    assert batches.shape == (5, 4, 32, 4)  # drop_last: 130//32 = 4 batches
-    # each pass is a permutation without replacement
-    for p in range(5):
-        vals = batches[p, :, :, 0].ravel()
-        assert len(np.unique(vals)) == len(vals)
+def test_trainer_shuffle_is_droplast_permutation():
+    """Device-side batching parity with the reference DataLoader semantics
+    (drop_last=True shuffled batches, main.py:35-41): the trainer's
+    _shuffled_batches must be a permutation without replacement reshaped to
+    (n_batches, B, ...)."""
+    import jax
+    import jax.numpy as jnp
 
+    from hypad_tpu.train.trainer import _shuffled_batches
 
-def test_sequential_batches_cover_everything():
-    X = np.arange(70, dtype=np.float32)
-    bs = dp.sequential_batches(X, 32)
-    assert [len(b) for b in bs] == [32, 32, 6]
-    np.testing.assert_array_equal(np.concatenate(bs), X)
+    X = jnp.arange(130, dtype=jnp.float32)[:, None] * jnp.ones((1, 4))
+    batches = _shuffled_batches(jax.random.PRNGKey(0), X, 4, 32)
+    assert batches.shape == (4, 32, 4)  # drop_last: 130//32 = 4 batches
+    vals = np.asarray(batches[:, :, 0]).ravel()
+    assert len(np.unique(vals)) == len(vals)

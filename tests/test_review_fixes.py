@@ -43,6 +43,80 @@ def test_euclidean_invalid_combination_raises():
                                      comb="uncertainty")
 
 
+def test_detector_propagates_unexpected_metric_failures(monkeypatch,
+                                                        tmp_path):
+    """A poisoned metrics path must raise, not silently report
+    confusion=[0,0,0,0] (round-1 review: the bare except ate regressions).
+    Only ZeroDivisionError (empty predictions / no GT, the case the
+    reference's try/except excuses) maps to zeros."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from hypad_tpu.data.pipeline import SignalData
+    from hypad_tpu.detect import detector as det
+    from hypad_tpu.detect import metrics as mt
+    from hypad_tpu.models.tadgan import init_tadgan
+
+    rng = np.random.default_rng(0)
+    n, w = 40, 20
+    test_data = SignalData(
+        X=rng.uniform(-1, 1, (n, w)).astype(np.float32),
+        y=np.zeros((n, 1), np.float32),
+        X_index=np.arange(n, dtype=np.float64),
+        y_index=np.arange(n, dtype=np.float64) + w,
+        index=np.arange(n + w, dtype=np.float64),
+    )
+    params = SimpleNamespace(signal="sig", dataset="NAB", hyperbolic=False,
+                             combination="rec", rec_error="point", load=False,
+                             save_result=False)
+    model = init_tadgan(jax.random.PRNGKey(0), signal_shape=w,
+                        hyperbolic=False)
+    known = pd.DataFrame({"start": [5.0], "end": [9.0]})
+
+    def poisoned(*a, **k):
+        raise ValueError("poisoned metrics")
+
+    monkeypatch.setattr(mt, "contextual_confusion_matrix", poisoned)
+    with pytest.raises(ValueError, match="poisoned metrics"):
+        det.detect(params, model, test_data, str(tmp_path / "run"),
+                   known_anomalies=known)
+
+
+def test_detector_zeroes_confusion_on_empty_predictions(tmp_path):
+    """ZeroDivisionError from empty predictions still maps to [0,0,0,0]
+    (the reference behavior, utils/anomaly_detection_utils.py:105-113)."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from hypad_tpu.data.pipeline import SignalData
+    from hypad_tpu.detect import detector as det
+    from hypad_tpu.models.tadgan import init_tadgan
+
+    rng = np.random.default_rng(1)
+    n, w = 40, 20
+    # constant-ish windows -> typically no intervals above mean+4sigma with
+    # an untrained model; empty GT guarantees the ZeroDivisionError branch
+    test_data = SignalData(
+        X=rng.uniform(-0.01, 0.01, (n, w)).astype(np.float32),
+        y=np.zeros((n, 1), np.float32),
+        X_index=np.arange(n, dtype=np.float64),
+        y_index=np.arange(n, dtype=np.float64) + w,
+        index=np.arange(n + w, dtype=np.float64),
+    )
+    params = SimpleNamespace(signal="sig", dataset="NAB", hyperbolic=False,
+                             combination="rec", rec_error="point", load=False,
+                             save_result=False)
+    model = init_tadgan(jax.random.PRNGKey(0), signal_shape=w,
+                        hyperbolic=False)
+    known = pd.DataFrame(columns=["start", "end"])
+    result = det.detect(params, model, test_data, str(tmp_path / "run"),
+                        known_anomalies=known)
+    assert list(result["confusion"]) == [0, 0, 0, 0]
+    assert result["metrics"] is None
+
+
 def test_integer_smoothing_window_not_capped():
     """score_anomalies passes trunc(N*0.01) as an int, which the reference
     does NOT cap at 200; the float proportion path IS capped."""
