@@ -101,18 +101,20 @@ def cmd_train(params, config_path):
           f"({wall / trained:.3f}s/epoch)")
     ck.save_state(path, state, "final")
 
-    _run_detection(params, state.params, test_data, path, read_path)
+    _run_detection(params, state.params, test_data, path, read_path,
+                   mesh=mesh)
     return state, path
 
 
-def _run_detection(params, model_params, test_data, path, read_path):
+def _run_detection(params, model_params, test_data, path, read_path,
+                   mesh=None):
     from hypad_tpu.detect.detector import detect
     from hypad_tpu.utils.profiling import stage
 
     t0 = time.time()
     with stage("detect"):
         result = detect(params, model_params, test_data, path,
-                        read_path=read_path)
+                        read_path=read_path, mesh=mesh)
     wall = time.time() - t0
     n_windows = len(test_data.X)
     print(f"detection wall-clock: {wall:.2f}s "
@@ -123,6 +125,7 @@ def _run_detection(params, model_params, test_data, path, read_path):
 
 
 def cmd_detect(params, config_path):
+    from hypad_tpu.parallel.mesh import make_mesh
     from hypad_tpu.utils import checkpoint as ck
 
     train_data, test_data, read_path, path = _build(params)
@@ -130,7 +133,15 @@ def cmd_detect(params, config_path):
     if params.resume:
         print(f"resuming epoch: {params.resume_epoch}")
     state = ck.restore_state(path, tag)
-    return _run_detection(params, state.params, test_data, path, read_path)
+    mesh = make_mesh(params.devices)
+    model_params = state.params
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        model_params = jax.device_put(
+            model_params, NamedSharding(mesh, PartitionSpec()))
+    return _run_detection(params, model_params, test_data, path, read_path,
+                          mesh=mesh)
 
 
 def main(argv=None):

@@ -31,9 +31,14 @@ from hypad_tpu.utils import artifacts
 
 
 def detect(params, state_params, test_data, run_path, read_path="",
-           known_anomalies=None, save_plots=False):
+           known_anomalies=None, save_plots=False, mesh=None):
     """Full detection pass. Returns a result dict with scores, intervals and
-    metrics (None metrics when no ground truth / no predictions)."""
+    metrics (None metrics when no ground truth / no predictions).
+
+    ``mesh``: optional dp mesh — inference and the device scoring stages are
+    sharded over the window axis across all mesh devices (SURVEY §2.3
+    scoring parallelism); results are identical to single-device scoring
+    (tests/test_sharded_scoring.py)."""
     os.makedirs(run_path, exist_ok=True)
 
     # ---- ground truth (anomaly_detection.py:31-37)
@@ -51,7 +56,7 @@ def detect(params, state_params, test_data, run_path, read_path="",
         inference, true_index = cached
     else:
         inference = sc.run_inference(state_params, test_data.X,
-                                     params.hyperbolic)
+                                     params.hyperbolic, mesh=mesh)
         # the reference's true_index is the FULL aggregated timeline
         # (SignalDataset.index, anomaly_detection.py:133 via __getitem__'s
         # second element), length n_buckets = N + W — it must cover all
@@ -65,7 +70,7 @@ def detect(params, state_params, test_data, run_path, read_path="",
         final_scores = artifacts.cache_scores(
             run_path, f"scores_mv_{params.combination}",
             lambda: sc.score_anomalies_multivariate(
-                inference, params.combination, params.hyperbolic),
+                inference, params.combination, params.hyperbolic, mesh=mesh),
             enabled=params.load)
         intervals = iv.find_anomalies(
             np.asarray(final_scores).reshape(-1), np.arange(len(final_scores)),
@@ -74,7 +79,7 @@ def detect(params, state_params, test_data, run_path, read_path="",
     else:
         if params.hyperbolic:
             compute = lambda: sc.score_anomalies_hyperbolic(  # noqa: E731
-                inference, params.combination)
+                inference, params.combination, mesh=mesh)
             cache_key = f"scores_hyper_{params.combination}"
         else:
             # the euclidean score_anomalies only knows mult/sum/rec/critic
@@ -83,7 +88,7 @@ def detect(params, state_params, test_data, run_path, read_path="",
             compute = lambda: sc.score_anomalies_euclidean(  # noqa: E731
                 inference.true_signal, inference.recons_signal,
                 inference.critic_score, rec_error_type=params.rec_error,
-                comb=params.combination)
+                comb=params.combination, mesh=mesh)
             cache_key = (f"scores_eucl_{params.rec_error}_"
                          f"{params.combination}")
         final_scores = artifacts.cache_scores(run_path, cache_key, compute,

@@ -19,6 +19,18 @@ timestep (the profiled hot spot). Here the forward pass over every test
 window is one jitted call, and the entire scoring pipeline — anti-diagonal
 unroll, KDE argmax, rolling smoothing, DTW, z-scores, combination — is jnp
 on device; only interval extraction stays on host (detect/intervals.py).
+
+Scoring parallelism (SURVEY §2.3): the detector math is embarrassingly
+parallel over windows/timesteps. Every public entry takes an optional
+``mesh`` (a 1-D ``dp`` jax.sharding.Mesh); inputs and the row axes of the
+intermediate matrices (inference batches, KDE anti-diagonal rows, DTW
+windows, per-window distances) carry sharding constraints over it, so XLA
+partitions the whole pipeline across devices and inserts the few collectives
+(quantile/std reductions, rolling-mean halos) over ICI. dp-sharded scoring
+is asserted equal to single-device scoring in tests/test_sharded_scoring.py.
+The Pallas KDE kernel is a single-device program; when a multi-device mesh
+is active the jnp KDE path is used instead (GSPMD cannot partition an opaque
+pallas_call).
 """
 
 from __future__ import annotations
@@ -56,11 +68,36 @@ class InferenceOutput(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
+# sharding helpers (scoring parallelism over the dp mesh)
+# ---------------------------------------------------------------------------
+
+def _row_constraint(mesh):
+    """Returns f(x) applying a sharding constraint over the leading (row)
+    axis of any-rank x; identity when mesh is None."""
+    if mesh is None:
+        return lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def constrain(x):
+        spec = P("dp", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return constrain
+
+
+# NOTE: inputs are handed to the jits as plain arrays and sharded by
+# with_sharding_constraint INSIDE the traced program — jax.device_put with a
+# NamedSharding rejects row counts not divisible by the mesh, while GSPMD's
+# in-program constraint pads uneven shards transparently.
+
+
+# ---------------------------------------------------------------------------
 # model forward over the full test set
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("hyperbolic",))
-def _forward_chunk(params, x, hyperbolic):
+@functools.partial(jax.jit, static_argnames=("hyperbolic", "mesh"))
+def _forward_chunk(params, x, hyperbolic, mesh=None):
+    x = _row_constraint(mesh)(x)
     z = encoder_apply(params["encoder"], x)
     critic = critic_x_apply(params["critic_x"], x)[:, 0]
     if hyperbolic:
@@ -71,16 +108,20 @@ def _forward_chunk(params, x, hyperbolic):
     return recon, critic
 
 
-def run_inference(params, X, hyperbolic, batch_size=1024) -> InferenceOutput:
+def run_inference(params, X, hyperbolic, batch_size=1024,
+                  mesh=None) -> InferenceOutput:
     """Forward every test window (eval mode: no dropout) in large device
     batches. Replaces the reference test loop (anomaly_detection.py:67-113).
+
+    ``mesh``: optional dp mesh — chunks are sharded over the window axis so
+    every device forwards 1/n of the batch (SURVEY §2.3 scoring parallelism).
     """
     X = np.asarray(X, np.float32)
     outs = []
     for i in range(0, len(X), batch_size):
         outs.append(jax.device_get(
             _forward_chunk(params, jnp.asarray(X[i:i + batch_size]),
-                           hyperbolic)))
+                           hyperbolic, mesh=mesh)))
     if hyperbolic:
         hyper = np.concatenate([o[0] for o in outs])
         eucl = np.concatenate([o[1] for o in outs])
@@ -128,10 +169,14 @@ def _use_pallas_kde():
 
 
 @functools.partial(jax.jit, static_argnames=("width", "smooth_window",
-                                             "use_pallas"))
-def _critic_scores_device(critic, width, smooth_window, use_pallas=False):
+                                             "use_pallas", "mesh"))
+def _critic_scores_device(critic, width, smooth_window, use_pallas=False,
+                          mesh=None):
     n = critic.shape[0]
+    constrain = _row_constraint(mesh)
     vals, mask = _critic_antidiag(critic, n, width)
+    # shard the (T, width) anti-diagonal rows: each device KDE-fits its slab
+    vals, mask = constrain(vals), constrain(mask)
     if use_pallas:
         from hypad_tpu.ops.kde_pallas import kde_argmax_rows_pallas
 
@@ -144,12 +189,12 @@ def _critic_scores_device(critic, width, smooth_window, use_pallas=False):
     in_range = (kde_max >= lq) & (kde_max <= uq)
     mean = jnp.sum(jnp.where(in_range, kde_max, 0.0)) / jnp.sum(in_range)
     std = jnp.std(kde_max)
-    z = jnp.abs((kde_max - mean) / std) + 1.0
+    z = constrain(jnp.abs((kde_max - mean) / std) + 1.0)
     return rolling_mean_centered(z, smooth_window,
                                  max(smooth_window // 2, 1))
 
 
-def final_critic_scores(critic_score, true_signal):
+def final_critic_scores(critic_score, true_signal, mesh=None):
     """Reference final_critic_scores (:365-404): returns (T,) smoothed
     critic anomaly scores, T = W + N - 1.
 
@@ -159,9 +204,11 @@ def final_critic_scores(critic_score, true_signal):
     crashing. Identical for N >= 100 (see README)."""
     n, w = true_signal.shape
     smooth_window = math.trunc(n * 0.01)
+    # the Pallas kernel is a single-device program; the jnp path partitions
+    use_pallas = _use_pallas_kde() and mesh is None
     out = _critic_scores_device(jnp.asarray(critic_score, jnp.float32), w,
                                 max(smooth_window, 1),
-                                use_pallas=_use_pallas_kde())
+                                use_pallas=use_pallas, mesh=mesh)
     return np.asarray(out)
 
 
@@ -171,11 +218,13 @@ def final_critic_scores(critic_score, true_signal):
 
 @functools.partial(jax.jit, static_argnames=("rec_error_type",
                                              "smoothing_window",
-                                             "score_window", "smooth"))
+                                             "score_window", "smooth",
+                                             "mesh"))
 def _reconstruction_errors_device(y, y_hat, rec_error_type, smoothing_window,
-                                  score_window=10, smooth=True):
-    true = true_series(y)
-    pred = unroll_median(y_hat)
+                                  score_window=10, smooth=True, mesh=None):
+    constrain = _row_constraint(mesh)
+    true = constrain(true_series(constrain(y)))
+    pred = constrain(unroll_median(constrain(y_hat)))
     if rec_error_type == "point":
         errors = jnp.abs(true - pred)
     elif rec_error_type == "area":
@@ -193,7 +242,7 @@ def _reconstruction_errors_device(y, y_hat, rec_error_type, smoothing_window,
 
 
 def reconstruction_errors(y, y_hat, rec_error_type="point", score_window=10,
-                          smoothing_window=0.01, smooth=True):
+                          smoothing_window=0.01, smooth=True, mesh=None):
     """Reference reconstruction_errors (:866-962). y/y_hat: (N, W) arrays.
     Returns (errors (T,), predictions (T,)).
 
@@ -212,7 +261,7 @@ def reconstruction_errors(y, y_hat, rec_error_type="point", score_window=10,
     window = max(smoothing_window, 1) if smooth else 1
     errors, pred = _reconstruction_errors_device(
         jnp.asarray(y, jnp.float32), jnp.asarray(y_hat, jnp.float32),
-        rec_error_type, window, score_window, smooth=smooth)
+        rec_error_type, window, score_window, smooth=smooth, mesh=mesh)
     return np.asarray(errors), np.asarray(pred)
 
 
@@ -259,16 +308,16 @@ def combine_scores(combination, critic_scores, rec_scores, recons_signal):
 # ---------------------------------------------------------------------------
 
 def score_anomalies_euclidean(y, y_hat, critic, rec_error_type="point",
-                              comb="mult", lambda_rec=0.5):
+                              comb="mult", lambda_rec=0.5, mesh=None):
     """Reference score_anomalies (:407-576) minus the pickle cache plumbing
     (artifact caching lives in utils/artifacts.py). Returns final (T,) scores.
     """
-    critic_scores = final_critic_scores(critic, y)
+    critic_scores = final_critic_scores(critic, y, mesh=mesh)
     # score_anomalies passes error_smooth_window = trunc(N*0.01) as an INT
     # (:459-460), which bypasses reconstruction_errors' 200 cap
     errors, _ = reconstruction_errors(
         y, y_hat, rec_error_type,
-        smoothing_window=math.trunc(len(y) * 0.01))
+        smoothing_window=math.trunc(len(y) * 0.01), mesh=mesh)
     rec_scores = _zscore_clip(errors)
     if comb == "mult":
         return np.multiply(critic_scores, rec_scores)
@@ -283,42 +332,49 @@ def score_anomalies_euclidean(y, y_hat, critic, rec_error_type="point",
         f'Unknown combination specified {comb}, use "mult", "sum", or "rec"')
 
 
-def hyperbolic_window_scores(recons_signal, true_signal):
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _acosh_rows(u, v, mesh=None):
+    c = _row_constraint(mesh)
+    return st.acosh_poincare_distance(c(u), c(v))
+
+
+def hyperbolic_window_scores(recons_signal, true_signal, mesh=None):
     """Per-window acosh Poincare distance (:58-66). Shapes (N, W) -> (N,).
     NOTE the reference passes recons as 'true_data' and ground-truth-in-ball
     as 'pred_data' (swapped names, harmless: the distance is symmetric)."""
-    d = st.acosh_poincare_distance(
-        jnp.asarray(recons_signal, jnp.float32),
-        jnp.asarray(true_signal, jnp.float32))
+    d = _acosh_rows(jnp.asarray(recons_signal, jnp.float32),
+                    jnp.asarray(true_signal, jnp.float32), mesh=mesh)
     return np.asarray(d)
 
 
-def score_anomalies_hyperbolic(inference: InferenceOutput, combination):
+def score_anomalies_hyperbolic(inference: InferenceOutput, combination,
+                               mesh=None):
     """Hyperbolic univariate scoring (:54-86): per-window rec scores,
     critic scores truncated to N windows, combined."""
     rec_scores = hyperbolic_window_scores(inference.recons_signal,
-                                          inference.true_signal)
+                                          inference.true_signal, mesh=mesh)
     critic_scores = []
     if combination in CRITIC_COMBOS:
         critic_scores = final_critic_scores(
-            inference.critic_score, inference.true_signal)
+            inference.critic_score, inference.true_signal, mesh=mesh)
         critic_scores = critic_scores[: rec_scores.shape[0]]
     return combine_scores(combination, critic_scores, rec_scores,
                           inference.recons_signal)
 
 
 def score_anomalies_multivariate(inference: InferenceOutput, combination,
-                                 hyperbolic):
+                                 hyperbolic, mesh=None):
     """Multivariate scoring (:153-196): per-timestep scores over (N, F)."""
     recons = inference.recons_signal
     true = inference.true_signal
     if hyperbolic:
-        raw = hyperbolic_window_scores(recons, true)
+        raw = hyperbolic_window_scores(recons, true, mesh=mesh)
     else:
         raw = np.linalg.norm(true - recons, axis=1)
     rec_scores = _zscore_clip(raw)
     critic_scores = []
     if combination in CRITIC_COMBOS:
-        critic_scores = final_critic_scores(inference.critic_score, true)
+        critic_scores = final_critic_scores(inference.critic_score, true,
+                                            mesh=mesh)
         critic_scores = critic_scores[: rec_scores.shape[0]]
     return combine_scores(combination, critic_scores, rec_scores, recons)
