@@ -6,7 +6,9 @@ the reference repo in ``math_.py`` (see reference ``math_.py:51-59`` for the
 tanh/artanh clamp schedule, ``:340-352`` project, ``:381-383`` lambda_x,
 ``:536-555`` mobius_add, ``:657-676`` gyration, ``:892-902`` dist,
 ``:1132-1136`` expmap0, ``:1267-1270`` logmap0, ``:1307-1323`` mobius_matvec,
-``:1739-1745`` parallel transport, ``:1843-1845`` egrad2rgrad). The
+``:1739-1745`` parallel transport, ``:1843-1845`` egrad2rgrad,
+``:853-858`` mobius_scalar_mul, ``:1940-1952`` antipode, ``:2026-2090``
+weighted_midpoint, ``:2135-2159`` dist2plane_matmul). The
 *implementation* is new: pure jnp in float32, jit/vmap/grad-transformable, with
 every stability clamp reproduced exactly so boundary numerics match the
 reference bit-for-bit in f32.
@@ -195,6 +197,116 @@ def dist2plane(x, p, a, k=-1.0, signed=False):
     sqrt_abs_k = jnp.sqrt(jnp.abs(k))
     ratio = num / denom * sqrt_abs_k
     return jnp.arcsinh(ratio) / sqrt_abs_k
+
+
+def _sign(x):
+    """geoopt.utils.sign: never returns 0 (sign(0) = +1)."""
+    return jnp.sign(jnp.sign(x) + 0.5)
+
+
+def _clamp_abs(x, eps=NORM_FLOOR):
+    """geoopt.utils.clamp_abs: floor |x| at eps, preserving (nonzero) sign."""
+    return _sign(x) * jnp.maximum(jnp.abs(x), eps)
+
+
+def antipode(x, k=-1.0):
+    """Antipodal point (math_.py:1940-1952). For k <= 0 (the entire HypAD
+    regime) the antipode is simply -x; the k > 0 geodesic construction is
+    out of scope for this k<0 core."""
+    return -x
+
+
+def mobius_scalar_mul(r, x, k=-1.0):
+    """Mobius scalar multiplication r (x) x (math_.py:853-858):
+    tan_k(r * artan_k(||x||)) * x/||x||."""
+    x_norm = _last_norm(x)
+    return tan_k(r * artan_k(x_norm, k), k) * (x / x_norm)
+
+
+def weighted_midpoint(xs, weights=None, k=-1.0, reducedim=None,
+                      keepdim=False, lincomb=False, posweight=False,
+                      coadd=False):
+    """Einstein midpoint in Poincare coordinates (math_.py:2026-2090):
+
+        mid = 1/2 (x) ( sum_i a_i lam(x_i) x_i / sum_j |a_j| (lam(x_j) - 1) )
+
+    Reduces over ``reducedim`` (default: every axis except the last);
+    the last axis is the manifold dimension. Only the k <= 0 branches are
+    carried (the k > 0 antipode check, math_.py:2064-2075, never fires for
+    the ball).
+    """
+    xs = jnp.asarray(xs)
+    if reducedim is None:
+        reducedim = tuple(range(xs.ndim - 1))
+    elif isinstance(reducedim, int):
+        reducedim = (reducedim,)
+    else:
+        reducedim = tuple(reducedim)
+    gamma = lambda_x(xs, k, keepdims=True)
+    if weights is None:
+        weights = jnp.ones((), dtype=xs.dtype)
+        scalar_weights = True
+    else:
+        weights = jnp.asarray(weights, dtype=xs.dtype)[..., None]
+        scalar_weights = False
+    if posweight and not scalar_weights:
+        xs = jnp.where(weights < 0, antipode(xs, k), xs)
+        weights = jnp.abs(weights)
+    denominator = jnp.sum((gamma - 1.0) * jnp.abs(weights), axis=reducedim,
+                          keepdims=True)
+    nominator = jnp.sum(gamma * weights * xs, axis=reducedim, keepdims=True)
+    two_mean = nominator / _clamp_abs(denominator, 1e-10)
+    if lincomb or coadd:
+        a_mean = two_mean
+    else:
+        k_ = jnp.asarray(k, dtype=xs.dtype)
+        a_mean = two_mean / (
+            1.0 + jnp.sqrt(1.0 + k_ * jnp.sum(two_mean ** 2, axis=-1,
+                                              keepdims=True)))
+    if lincomb:
+        if scalar_weights:
+            alpha = weights
+            for d in reducedim:
+                alpha = alpha * xs.shape[d]
+        else:
+            alpha = jnp.sum(jnp.broadcast_to(weights, gamma.shape),
+                            axis=reducedim, keepdims=True)
+        a_mean = mobius_scalar_mul(alpha / 2.0, a_mean, k)
+    if not keepdim:
+        a_mean = a_mean.reshape([s for i, s in enumerate(a_mean.shape)
+                                 if i not in reducedim])
+    return a_mean
+
+
+def arsin_k(x, k=-1.0):
+    """arsin_kappa, k<0 branch: arsinh(x sqrt|k|)/sqrt|k| (math_.py:266-290)."""
+    k = jnp.asarray(k, dtype=jnp.result_type(x))
+    sqrt_abs_k = jnp.sqrt(jnp.abs(k))
+    return jnp.arcsinh(x * sqrt_abs_k) / sqrt_abs_k
+
+
+def dist2plane_matmul(x, p, z, k=-1.0):
+    """Batched distance-to-hyperplanes in matmul form (math_.py:2135-2159).
+
+    ``x``: (..., D) ball points; ``p``: (D, P) hyperplane points; ``z``:
+    (D, P) hyperplane tangents (reduction over dim=-2 as in the spec).
+    Returns (..., P) signed distances scaled by the tangent norms.
+    """
+    k = jnp.asarray(k, dtype=jnp.result_type(x))
+    z_norm = jnp.maximum(
+        jnp.sqrt(jnp.sum(z * z, axis=-2, keepdims=True)), NORM_FLOOR)
+    z_unit = z / z_norm
+
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    p2 = jnp.sum(p * p, axis=-2, keepdims=True)
+    pz = jnp.sum(p * z_unit, axis=-2, keepdims=True)
+
+    inner = (x @ z_unit
+             - (1.0 + 2.0 * k * (x @ p) - k * x2)
+             / jnp.maximum(1.0 + k * x2, NORM_FLOOR) * pz)
+    distance = arsin_k(
+        2.0 / jnp.maximum(1.0 + k * p2, NORM_FLOOR) * inner, k)
+    return 2.0 * distance * z_norm
 
 
 def egrad2rgrad(x, grad, k=-1.0):

@@ -54,6 +54,45 @@ def _load_module(name, path):
     return mod
 
 
+def load_reference_math():
+    """Execute the reference's vendored math spec (/root/reference/math_.py,
+    unimportable in place: its ``from ...utils import ...`` needs a package
+    3 levels deep). We scaffold that package, provide the five geoopt-0.5.0
+    helpers it imports, and disable torch.jit scripting (semantics only)."""
+    name = "refmath.manifolds.stereographic.math_"
+    if name in sys.modules:
+        return sys.modules[name]
+    import torch
+
+    orig_script = torch.jit.script
+    torch.jit.script = lambda fn: fn
+    try:
+        utils = types.ModuleType("refmath.utils")
+        utils.sign = lambda x: torch.sign(x.sign() + 0.5)
+        utils.sabs = lambda x, eps=1e-15: x.abs().clamp_min(eps)
+        utils.clamp_abs = (
+            lambda x, eps=1e-15: utils.sign(x) * utils.sabs(x, eps=eps))
+        utils.list_range = lambda end: [d for d in range(end)]
+
+        def drop_dims(tensor, dims):
+            seen = 0
+            for d in dims:
+                tensor = tensor.squeeze(d - seen)
+                seen += 1
+            return tensor
+
+        utils.drop_dims = drop_dims
+        for pkg in ("refmath", "refmath.manifolds",
+                    "refmath.manifolds.stereographic"):
+            mod = types.ModuleType(pkg)
+            mod.__path__ = []
+            sys.modules[pkg] = mod
+        sys.modules["refmath.utils"] = utils
+        return _load_module(name, REF + "/math_.py")
+    finally:
+        torch.jit.script = orig_script
+
+
 def load_reference_adu():
     """Load the reference's utils/anomaly_detection_utils.py with its
     package context satisfied."""

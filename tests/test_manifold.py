@@ -160,3 +160,94 @@ def test_dist2plane_finite(rng):
     out = np.asarray(st.dist2plane(jnp.array(x), jnp.array(p), jnp.array(a), signed=True))
     assert out.shape == (8, 4)
     assert np.all(np.isfinite(out))
+
+
+# ---- L0 spec completion: weighted_midpoint / dist2plane_matmul -------------
+# Golden-tested against the vendored math spec EXECUTED from the reference
+# checkout (tests/reference_oracle.load_reference_math) in float64.
+
+def _refmath():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_oracle import load_reference_math
+
+    return load_reference_math()
+
+
+def test_weighted_midpoint_matches_spec(rng):
+    import torch
+
+    mod = _refmath()
+    xs = random_ball_points(rng, (6, 8)).astype(np.float64)
+    w = rng.standard_normal(6)
+    k = torch.tensor(-1.0, dtype=torch.float64)
+    txs, tw = torch.tensor(xs), torch.tensor(w)
+    cases = [
+        dict(),                       # unweighted Einstein midpoint
+        dict(weights=w),              # signed weights
+        dict(weights=w, lincomb=True),
+        dict(weights=w, posweight=True),
+        dict(lincomb=True),           # scalar-weight lincomb (alpha = n)
+    ]
+    for kw in cases:
+        tkw = {kk: (torch.tensor(vv) if isinstance(vv, np.ndarray) else vv)
+               for kk, vv in kw.items()}
+        want = mod.weighted_midpoint(txs, k=k, **tkw).numpy()
+        got = np.asarray(st.weighted_midpoint(
+            xs.astype(np.float32),
+            **{kk: (vv.astype(np.float32) if isinstance(vv, np.ndarray)
+                    else vv) for kk, vv in kw.items()}))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5,
+                                   err_msg=f"case {kw}")
+
+
+def test_weighted_midpoint_of_identical_points_is_the_point(rng):
+    x = random_ball_points(rng, (1, 8))
+    xs = np.repeat(x, 5, axis=0)
+    mid = np.asarray(st.weighted_midpoint(xs))
+    np.testing.assert_allclose(mid, x[0], rtol=1e-4, atol=1e-5)
+
+
+def test_weighted_midpoint_reducedim_and_keepdim(rng):
+    xs = random_ball_points(rng, (3, 5, 8))
+    out = np.asarray(st.weighted_midpoint(xs, reducedim=(1,)))
+    assert out.shape == (3, 8)
+    out2 = np.asarray(st.weighted_midpoint(xs, reducedim=(1,), keepdim=True))
+    assert out2.shape == (3, 1, 8)
+    np.testing.assert_allclose(out, out2[:, 0], rtol=1e-6)
+
+
+def test_dist2plane_matmul_matches_spec(rng):
+    import torch
+
+    mod = _refmath()
+    x = (rng.standard_normal((5, 8)) * 0.2)
+    p = (rng.standard_normal((8, 3)) * 0.2)
+    z = rng.standard_normal((8, 3))
+    k = torch.tensor(-1.0, dtype=torch.float64)
+    want = mod.dist2plane_matmul(torch.tensor(x), torch.tensor(p),
+                                 torch.tensor(z), k=k).numpy()
+    got = np.asarray(st.dist2plane_matmul(
+        jnp.array(x, jnp.float32), jnp.array(p, jnp.float32),
+        jnp.array(z, jnp.float32)))
+    # f32 runtime vs f64 spec: the inner product has cancellation, hence
+    # the looser rtol (f64-vs-f64 agreement is ~1e-15, verified offline)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_mobius_scalar_mul_matches_spec(rng):
+    import torch
+
+    mod = _refmath()
+    x = random_ball_points(rng, (6, 8)).astype(np.float64)
+    r = 0.37
+    k = torch.tensor(-1.0, dtype=torch.float64)
+    want = mod.mobius_scalar_mul(torch.tensor(r, dtype=torch.float64),
+                                 torch.tensor(x), k=k).numpy()
+    got = np.asarray(st.mobius_scalar_mul(r, jnp.array(x, jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_antipode_is_negation_for_negative_curvature(rng):
+    x = random_ball_points(rng, (4, 8))
+    np.testing.assert_array_equal(np.asarray(st.antipode(x)), -x)
