@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hypad_tpu.manifold import stereographic as st
 
@@ -58,20 +59,90 @@ def mobius_gru_cell(x, h, weight_ih, weight_hh, bias, k=-1.0, nonlin=None):
 
 def mobius_gru_loop(inputs, h0, weight_ih, weight_hh, bias, k=-1.0,
                     hyperbolic_input=False, hyperbolic_hidden_state0=False,
-                    nonlin=None):
-    """Scan the hyperbolic GRU over time (reference :94-151, dense path).
+                    nonlin=None, lengths=None):
+    """Scan the hyperbolic GRU over time (reference :94-151).
 
     inputs: (T, B, in); h0: (B, H). Returns (outs (T, B, H), h_last (B, H)).
+
+    ``lengths``: optional (B,) per-sequence lengths — the TPU-native form of
+    the reference's packed-sequence branch (:128-151). The scan stays fully
+    dense (fixed shapes for XLA); a row whose sequence has ended keeps its
+    hidden state frozen, so ``h_last[b]`` is the state after step
+    ``lengths[b]`` exactly as PackedSequence delivers it, and
+    ``outs[t, b]`` for t >= lengths[b] repeats that frozen state (positions
+    a PackedSequence simply does not carry). For the reference's exact
+    packed layout use :func:`mobius_gru_loop_packed`.
     """
     h = h0 if hyperbolic_hidden_state0 else st.expmap0(h0, k)
     x = inputs if hyperbolic_input else st.expmap0(inputs, k)
 
-    def step(h, x_t):
-        h_new = mobius_gru_cell(x_t, h, weight_ih, weight_hh, bias, k, nonlin)
-        return h_new, h_new
+    if lengths is None:
+        def step(h, x_t):
+            h_new = mobius_gru_cell(x_t, h, weight_ih, weight_hh, bias, k,
+                                    nonlin)
+            return h_new, h_new
 
-    h_last, outs = jax.lax.scan(step, h, x)
+        h_last, outs = jax.lax.scan(step, h, x)
+        return outs, h_last
+
+    lengths = jnp.asarray(lengths)
+
+    def step(carry, x_t):
+        h, t = carry
+        # mask padded inputs to the origin before the cell (keeps the ball
+        # ops on well-conditioned points; the result is discarded anyway)
+        active = (t < lengths)[:, None]
+        h_new = mobius_gru_cell(jnp.where(active, x_t, 0.0), h,
+                                weight_ih, weight_hh, bias, k, nonlin)
+        h = jnp.where(active, h_new, h)
+        return (h, t + 1), h
+
+    (h_last, _), outs = jax.lax.scan(step, (h, jnp.zeros((), jnp.int32)), x)
     return outs, h_last
+
+
+def batch_sizes_to_lengths(batch_sizes):
+    """PackedSequence ``batch_sizes`` (T,) -> per-sequence lengths (B0,)
+    (torch packs sequences sorted by decreasing length, so
+    lengths[b] = #{t : batch_sizes[t] > b})."""
+    batch_sizes = np.asarray(batch_sizes)
+    return (batch_sizes[:, None] > np.arange(batch_sizes[0])).sum(0)
+
+
+def mobius_gru_loop_packed(data, batch_sizes, h0, weight_ih, weight_hh, bias,
+                           k=-1.0, hyperbolic_input=False,
+                           hyperbolic_hidden_state0=False, nonlin=None):
+    """The reference's packed-sequence branch of ``mobius_gru_loop``
+    (:128-151), exact layout included: ``data`` is the PackedSequence data
+    (sum(batch_sizes), in) — at step t the first batch_sizes[t] rows are
+    active, sequences sorted by decreasing length; returns
+    (packed outs (sum(batch_sizes), H), h_last (B0, H)) where h_last rows
+    follow the packed (sorted) sequence order, like the reference's
+    reversed-and-concatenated h_last.
+
+    TPU-native: the ragged stream is unpacked ONCE on host into a dense
+    (T, B0, in) tensor (batch_sizes lives on host in torch too), the loop
+    runs as the fixed-shape masked ``lax.scan`` above, and the dense outputs
+    are re-packed by slicing — no data-dependent shapes ever reach XLA.
+    """
+    batch_sizes = np.asarray(batch_sizes)
+    T, B0 = len(batch_sizes), int(batch_sizes[0])
+    lengths = batch_sizes_to_lengths(batch_sizes)
+
+    offsets = np.concatenate([[0], np.cumsum(batch_sizes)])
+    dense = jnp.zeros((T, B0) + data.shape[1:], data.dtype)
+    for t in range(T):
+        dense = dense.at[t, : batch_sizes[t]].set(
+            data[offsets[t]: offsets[t + 1]])
+
+    outs_dense, h_last = mobius_gru_loop(
+        dense, h0, weight_ih, weight_hh, bias, k,
+        hyperbolic_input=hyperbolic_input,
+        hyperbolic_hidden_state0=hyperbolic_hidden_state0,
+        nonlin=nonlin, lengths=lengths)
+    packed_outs = jnp.concatenate(
+        [outs_dense[t, : batch_sizes[t]] for t in range(T)])
+    return packed_outs, h_last
 
 
 def init_mobius_gru(key, input_size, hidden_size, dtype=jnp.float32):

@@ -88,9 +88,51 @@ def load_reference_math():
             mod.__path__ = []
             sys.modules[pkg] = mod
         sys.modules["refmath.utils"] = utils
-        return _load_module(name, REF + "/math_.py")
+        mod = _load_module(name, REF + "/math_.py")
+
+        # math_.py calls tensordot with TorchScript's 4-positional-arg form
+        # (a, b, dims_self, dims_other) and negative dims; give the module a
+        # torch proxy translating to the modern eager signature
+        class _TorchProxy:
+            def __init__(self, real):
+                self._real = real
+
+            def __getattr__(self, attr):
+                return getattr(self._real, attr)
+
+            def tensordot(self, a, b, *args, **kw):
+                if len(args) == 2:
+                    da = [d % a.dim() for d in args[0]]
+                    db = [d % b.dim() for d in args[1]]
+                    return self._real.tensordot(a, b, dims=(da, db))
+                return self._real.tensordot(a, b, *args, **kw)
+
+        mod.torch = _TorchProxy(torch)
+        return mod
     finally:
         torch.jit.script = orig_script
+
+
+def load_reference_hyrnn():
+    """Load the reference's hyperspace/hyrnn_nets.py with a geoopt module
+    shim whose ``manifolds.stereographic.math`` is the executed vendored
+    spec — enough for the free functions (mobius_gru_cell/loop,
+    one_rnn_transform, mobius_linear) used as golden oracles."""
+    if "ref_hyrnn" in sys.modules:
+        return sys.modules["ref_hyrnn"]
+    math_mod = load_reference_math()
+    if "geoopt" not in sys.modules:
+        geoopt = types.ModuleType("geoopt")
+        manifolds = types.ModuleType("geoopt.manifolds")
+        stereo = types.ModuleType("geoopt.manifolds.stereographic")
+        stereo.math = math_mod
+        manifolds.stereographic = stereo
+        geoopt.manifolds = manifolds
+        sys.modules["geoopt"] = geoopt
+        sys.modules["geoopt.manifolds"] = manifolds
+        sys.modules["geoopt.manifolds.stereographic"] = stereo
+        sys.modules["geoopt.manifolds.stereographic.math"] = math_mod
+    return _load_module("ref_hyrnn", REF + "/hyperspace/hyrnn_nets.py")
 
 
 def load_reference_adu():
