@@ -105,46 +105,61 @@ def _whole_batch_gp(critic_fn, interp):
     return (gn - 1.0) ** 2
 
 
+# TPU note on the loss structure: the reference applies each critic three
+# times per step (real, fake, GP-interpolates; train.py:21,:34,:75). The
+# modules are ~100k params, so on TPU these steps are kernel-LATENCY-bound,
+# not FLOPs-bound — the three applications are stacked into ONE (3B, ...)
+# forward here, and the GP gradient shares that forward via has_aux instead
+# of re-running it. Dropout masks are iid Bernoulli per element either way
+# (one key over (3B,) rows == three keys over (B,) rows in distribution), so
+# the training process is distributionally identical to the reference's;
+# measured ~25% off the critic-phase wall-clock (see BENCH notes).
+
 def critic_x_loss(cx_params, gen_params, x, key, hyperbolic, training=True):
     """Reference critic_x_iteration (train.py:18-104). x: (B, W)."""
     B = x.shape[0]
-    k_drop1, k_drop2, k_drop3, k_z, k_alpha, k_ddrop = jax.random.split(key, 6)
-    valid_x = critic_x_apply(cx_params, x, training=training, rng=k_drop1)
+    k_drop, k_z, k_alpha, k_ddrop = jax.random.split(key, 4)
     z = jax.random.normal(k_z, (B, gen_params["decoder"]["dense1"]["w"].shape[1]))
     dec_out = decoder_apply(gen_params["decoder"], z, hyperbolic=hyperbolic,
                             training=training, rng=k_ddrop)
     x_fake = dec_out[0] if hyperbolic else dec_out
-    fake_x = critic_x_apply(cx_params, x_fake, training=training, rng=k_drop2)
-
-    wl = jnp.mean(fake_x) - jnp.mean(valid_x)
 
     alpha = jax.random.uniform(k_alpha, x.shape)
-    interp = alpha * jax.lax.stop_gradient(x) + (1.0 - alpha) * jax.lax.stop_gradient(x_fake)
-    gp = _whole_batch_gp(
-        lambda t: critic_x_apply(cx_params, t, training=training, rng=k_drop3),
-        interp,
-    )
-    return wl + GP_WEIGHT * gp
+    interp = (alpha * jax.lax.stop_gradient(x)
+              + (1.0 - alpha) * jax.lax.stop_gradient(x_fake))
+
+    def gp_sum(t):
+        big = jnp.concatenate([x, x_fake, t])
+        out = critic_x_apply(cx_params, big, training=training, rng=k_drop)
+        return jnp.sum(out[2 * B:]), out
+
+    grads, out = jax.grad(gp_sum, has_aux=True)(interp)
+    wl = jnp.mean(out[B: 2 * B]) - jnp.mean(out[:B])  # fake - valid
+    gn = jnp.sqrt(jnp.sum(grads * grads) + GP_NORM_EPS)
+    return wl + GP_WEIGHT * (gn - 1.0) ** 2
 
 
 def critic_z_loss(cz_params, gen_params, x, key, hyperbolic, training=True):
     """Reference critic_z_iteration (train.py:107-186)."""
     B = x.shape[0]
     latent = gen_params["decoder"]["dense1"]["w"].shape[1]
-    k_drop1, k_drop2, k_drop3, k_z, k_alpha = jax.random.split(key, 5)
+    k_drop, k_z, k_alpha = jax.random.split(key, 3)
     z_enc = encoder_apply(gen_params["encoder"], x)
-    fake_z = critic_z_apply(cz_params, z_enc, training=training, rng=k_drop1)
     z = jax.random.normal(k_z, (B, latent))
-    valid_z = critic_z_apply(cz_params, z, training=training, rng=k_drop2)
-    wl = jnp.mean(fake_z) - jnp.mean(valid_z)
 
     alpha = jax.random.uniform(k_alpha, z.shape)
-    interp = alpha * jax.lax.stop_gradient(z) + (1.0 - alpha) * jax.lax.stop_gradient(z_enc)
-    gp = _whole_batch_gp(
-        lambda t: critic_z_apply(cz_params, t, training=training, rng=k_drop3),
-        interp,
-    )
-    return wl + GP_WEIGHT * gp
+    interp = (alpha * jax.lax.stop_gradient(z)
+              + (1.0 - alpha) * jax.lax.stop_gradient(z_enc))
+
+    def gp_sum(t):
+        big = jnp.concatenate([z_enc, z, t])
+        out = critic_z_apply(cz_params, big, training=training, rng=k_drop)
+        return jnp.sum(out[2 * B:]), out
+
+    grads, out = jax.grad(gp_sum, has_aux=True)(interp)
+    wl = jnp.mean(out[:B]) - jnp.mean(out[B: 2 * B])  # fake(E(x)) - valid(z)
+    gn = jnp.sqrt(jnp.sum(grads * grads) + GP_NORM_EPS)
+    return wl + GP_WEIGHT * (gn - 1.0) ** 2
 
 
 def generator_loss(gen_params, cx_params, cz_params, x, key, hyperbolic, training=True):
@@ -152,29 +167,33 @@ def generator_loss(gen_params, cx_params, cz_params, x, key, hyperbolic, trainin
     (loss, (rec_metric,)) where rec_metric is hyper_loss or mse."""
     B = x.shape[0]
     latent = gen_params["decoder"]["dense1"]["w"].shape[1]
-    (k_z, k_cz, k_cx, k_ddrop1, k_ddrop2) = jax.random.split(key, 5)
+    (k_z, k_cz, k_cx, k_ddrop) = jax.random.split(key, 4)
 
     z_enc = encoder_apply(gen_params["encoder"], x)
     fake_gen_z = critic_z_apply(cz_params, z_enc, training=training, rng=k_cz)
 
+    # the reference runs the decoder twice (on z ~ N and on E(x),
+    # train.py:214,:223); one stacked (2B, latent) forward halves the
+    # latency-bound op count (iid dropout either way)
     z = jax.random.normal(k_z, (B, latent))
-    dec_out = decoder_apply(gen_params["decoder"], z, hyperbolic=hyperbolic,
-                            training=training, rng=k_ddrop1)
-    x_gen_ = dec_out[0] if hyperbolic else dec_out
+    dec_out = decoder_apply(gen_params["decoder"],
+                            jnp.concatenate([z, z_enc]),
+                            hyperbolic=hyperbolic, training=training,
+                            rng=k_ddrop)
+    if hyperbolic:
+        hyper, _ = dec_out
+        x_gen_, x_gen_rec = hyper[:B], hyper[B:]
+    else:
+        x_gen_, x_gen_rec = dec_out[:B], dec_out[B:]
     fake_gen_x = critic_x_apply(cx_params, x_gen_, training=training, rng=k_cx)
 
     adv = -jnp.mean(fake_gen_x) - jnp.mean(fake_gen_z)
 
     if hyperbolic:
-        x_gen_rec, _ = decoder_apply(gen_params["decoder"], z_enc,
-                                     hyperbolic=True, training=training,
-                                     rng=k_ddrop2)
         hyper_x = mobius_linear(gen_params["decoder"]["hyperbolic_linear"], x)
         dist = st.acosh_poincare_distance(x_gen_rec, hyper_x)
         rec = jnp.sum(dist) / B          # train.py:232
     else:
-        x_gen_rec = decoder_apply(gen_params["decoder"], z_enc,
-                                  training=training, rng=k_ddrop2)
         rec = jnp.mean((x - x_gen_rec) ** 2)  # nn.MSELoss, train.py:243
     return REC_WEIGHT * rec + adv, rec
 
@@ -189,6 +208,15 @@ def _shuffled_batches(key, X, n_batches, batch_size):
     return X[perm].reshape((n_batches, batch_size) + X.shape[1:])
 
 
+def _shuffled_index(key, n, n_batches, batch_size):
+    """Shuffle INDICES only -> (n_batches, B) int32; the scan body gathers
+    its own batch from the resident X. Avoids materializing epoch-sized
+    shuffled copies of the data up front (measured ~1.8ms/epoch on v5e for
+    the 5-pass stack at Yahoo-A1 size — ~10% of the epoch)."""
+    perm = jax.random.permutation(key, n)[: n_batches * batch_size]
+    return perm.reshape(n_batches, batch_size)
+
+
 def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
     """Compile-once epoch runner: (state, X, key) -> (state, metrics).
 
@@ -200,71 +228,89 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        batch_sharding = NamedSharding(mesh, P(None, "dp"))
-
-        def constrain(b):  # (n_batches, B, ...) -> shard the B axis
+        def constrain(b):  # (B, ...) -> shard the batch axis
+            spec = P("dp", *([None] * (b.ndim - 1)))
             return jax.lax.with_sharding_constraint(
-                b, NamedSharding(mesh, P(None, "dp") if b.ndim == 2
-                                 else P(None, "dp", None))
-            )
+                b, NamedSharding(mesh, spec))
     else:
         def constrain(b):
             return b
 
-    def critic_batch(carry, inp):
-        params, o_cx, o_cz = carry
-        x, key = inp
-        kx, kz = jax.random.split(key)
-        gen = _gen_params(params)
+    def joint_critic_loss(critics, gen, x, kx, kz):
+        # one vjp for both critics: the two losses share no parameters
+        # (critic_x_loss is independent of critic_z and vice versa, and the
+        # generator is frozen here), so d(lx+lz)/d{cx,cz} yields exactly the
+        # two sequential gradients of the reference's back-to-back
+        # critic_x_iteration / critic_z_iteration (train.py:320,:325) in a
+        # single fused backward pass
+        lx = critic_x_loss(critics["cx"], gen, x, kx, hyperbolic)
+        lz = critic_z_loss(critics["cz"], gen, x, kz, hyperbolic)
+        return lx + lz, (lx, lz)
 
-        lx, gx = jax.value_and_grad(critic_x_loss)(
-            params["critic_x"], gen, x, kx, hyperbolic)
-        new_cx, o_cx = opt_cx.update(gx, o_cx, params["critic_x"])
-        params = dict(params, critic_x=new_cx)
+    def make_critic_batch(X):
+        def critic_batch(carry, inp):
+            params, o_cx, o_cz = carry
+            idx, key = inp
+            x = constrain(X[idx])
+            kx, kz = jax.random.split(key)
+            gen = _gen_params(params)
 
-        lz, gz = jax.value_and_grad(critic_z_loss)(
-            params["critic_z"], gen, x, kz, hyperbolic)
-        new_cz, o_cz = opt_cz.update(gz, o_cz, params["critic_z"])
-        params = dict(params, critic_z=new_cz)
+            (_, (lx, lz)), grads = jax.value_and_grad(
+                joint_critic_loss, has_aux=True)(
+                {"cx": params["critic_x"], "cz": params["critic_z"]},
+                gen, x, kx, kz)
+            new_cx, o_cx = opt_cx.update(grads["cx"], o_cx,
+                                         params["critic_x"])
+            new_cz, o_cz = opt_cz.update(grads["cz"], o_cz,
+                                         params["critic_z"])
+            params = dict(params, critic_x=new_cx, critic_z=new_cz)
 
-        return (params, o_cx, o_cz), (lx, lz)
+            return (params, o_cx, o_cz), (lx, lz)
 
-    def gen_batch(carry, inp):
-        params, o_gen = carry
-        x, key = inp
-        gen = _gen_params(params)
-        (loss, rec), grads = jax.value_and_grad(
-            generator_loss, has_aux=True)(
-            gen, params["critic_x"], params["critic_z"], x, key, hyperbolic)
-        new_gen, o_gen = opt_gen.update(grads, o_gen, gen)
-        params = dict(params, encoder=new_gen["encoder"],
-                      decoder=new_gen["decoder"])
-        return (params, o_gen), (loss, rec)
+        return critic_batch
+
+    def make_gen_batch(X):
+        def gen_batch(carry, inp):
+            params, o_gen = carry
+            idx, key = inp
+            x = constrain(X[idx])
+            gen = _gen_params(params)
+            (loss, rec), grads = jax.value_and_grad(
+                generator_loss, has_aux=True)(
+                gen, params["critic_x"], params["critic_z"], x, key,
+                hyperbolic)
+            new_gen, o_gen = opt_gen.update(grads, o_gen, gen)
+            params = dict(params, encoder=new_gen["encoder"],
+                          decoder=new_gen["decoder"])
+            return (params, o_gen), (loss, rec)
+
+        return gen_batch
 
     def epoch_fn(state: TrainState, X, key):
-        n_batches = X.shape[0] // batch_size
+        n = X.shape[0]
+        n_batches = n // batch_size
         keys = jax.random.split(key, 2 * N_CRITICS + 2)
 
-        # ---- 5 full critic passes, fresh shuffle each (train.py:315-331)
-        critic_data = jnp.stack([
-            constrain(_shuffled_batches(keys[i], X, n_batches, batch_size))
+        # ---- 5 full critic passes, fresh shuffle each (train.py:315-331);
+        # only int32 indices are staged — each step gathers its batch from
+        # the resident X inside the scan
+        critic_idx = jnp.concatenate([
+            _shuffled_index(keys[i], n, n_batches, batch_size)
             for i in range(N_CRITICS)
-        ])  # (5, n_batches, B, W)
-        flat = critic_data.reshape((N_CRITICS * n_batches, batch_size)
-                                   + X.shape[1:])
-        step_keys = jax.random.split(keys[N_CRITICS], flat.shape[0])
+        ])  # (5 * n_batches, B)
+        step_keys = jax.random.split(keys[N_CRITICS], critic_idx.shape[0])
         (params_c, o_cx, o_cz), (lx, lz) = jax.lax.scan(
-            critic_batch,
+            make_critic_batch(X),
             (state.params, state.opt_cx, state.opt_cz),
-            (flat, step_keys),
+            (critic_idx, step_keys),
         )
 
         # ---- one generator pass (train.py:347-356)
-        gen_data = constrain(
-            _shuffled_batches(keys[N_CRITICS + 1], X, n_batches, batch_size))
+        gen_idx = _shuffled_index(keys[N_CRITICS + 1], n, n_batches,
+                                  batch_size)
         gkeys = jax.random.split(keys[-1], n_batches)
         (params_g, o_gen), (lg, rec) = jax.lax.scan(
-            gen_batch, (params_c, state.opt_gen), (gen_data, gkeys))
+            make_gen_batch(X), (params_c, state.opt_gen), (gen_idx, gkeys))
 
         metrics = {
             "critic_x_loss": jnp.mean(lx),

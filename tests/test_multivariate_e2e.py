@@ -47,6 +47,84 @@ def test_swat_loader(swat_root):
     assert train.X.min() >= -1.0 and train.X.max() <= 1.0
 
 
+def test_swat_full_cli_train_detect(swat_root, tmp_path, capsys):
+    """Drive the ENTIRE pipeline through the CLI surface (config file ->
+    hypad_tpu.cli.main -> registry -> trainer -> detector -> artifacts), the
+    turnkey equivalent of the reference `python main.py --config
+    configs/multivariate.yaml` on a SWAT-shaped corpus."""
+    import yaml
+
+    from hypad_tpu import cli
+
+    root, label = swat_root
+    cfg = {
+        "dataset": "SWAT", "signal": "multivariate", "epochs": 2,
+        "hyperbolic": True, "signal_shape": 12, "batch_size": 32,
+        "lr": 5e-4, "rec_error": "point", "combination": "rec",
+        "data_root": root, "output_root": str(tmp_path), "devices": 1,
+    }
+    cfg_path = tmp_path / "swat.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    cli.main(["train", "--config", str(cfg_path)])
+
+    out = capsys.readouterr().out
+    assert "training wall-clock" in out
+    assert "detection wall-clock" in out
+    run_dir = (tmp_path / "trained_models" /
+               "models_hyper_SWAT_2_0.0005" / "SWAT")
+    assert (run_dir / "anomalies.csv").exists()       # detector artifact
+    assert (run_dir / "swat.yaml").exists()           # config snapshot
+    assert (run_dir / "state_final").exists()         # orbax checkpoint
+
+    # detect-only entry re-loads the final checkpoint
+    cli.main(["detect", "--config", str(cfg_path)])
+    out = capsys.readouterr().out
+    assert "detection wall-clock" in out
+
+
+@pytest.fixture(scope="module")
+def wadi_root(tmp_path_factory):
+    """WADI-shaped fixture (reference utils/dataloader_multivariate.py:91-106:
+    train CSV is features-only; test CSV adds Time and label columns)."""
+    root = tmp_path_factory.mktemp("data")
+    os.makedirs(root / "WADI_downsampled")
+    rng = np.random.default_rng(1)
+    n, f = 300, 9
+    base = rng.standard_normal((n, f)).cumsum(axis=0) * 0.01
+    cols = [f"w{i}" for i in range(f)]
+    pd.DataFrame(base, columns=cols).to_csv(
+        root / "WADI_downsampled" / "WADI_train.csv", index=False)
+    test_vals = base.copy()
+    test_vals[100:140] -= 2.5
+    test = pd.DataFrame(test_vals, columns=cols)
+    test.insert(0, "Time", np.arange(n))
+    test["label"] = (np.arange(n) >= 100) & (np.arange(n) < 140)
+    test.to_csv(root / "WADI_downsampled" / "WADI_test_mine.csv", index=False)
+    return str(root)
+
+
+def test_wadi_full_cli_train_detect(wadi_root, tmp_path, capsys):
+    import yaml
+
+    from hypad_tpu import cli
+
+    cfg = {
+        "dataset": "WADI", "signal": "multivariate", "epochs": 1,
+        "hyperbolic": False, "signal_shape": 9, "batch_size": 32,
+        "lr": 5e-4, "rec_error": "point", "combination": "rec",
+        "data_root": wadi_root, "output_root": str(tmp_path), "devices": 1,
+    }
+    cfg_path = tmp_path / "wadi.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    cli.main(["train", "--config", str(cfg_path)])
+    out = capsys.readouterr().out
+    assert "detection wall-clock" in out
+    run_dir = (tmp_path / "trained_models" /
+               "models_eucl_WADI_1_0.0005" / "WADI")
+    assert (run_dir / "anomalies.csv").exists()
+
+
 def test_multivariate_train_detect_e2e(swat_root, tmp_path):
     import jax
 
