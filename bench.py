@@ -1,7 +1,7 @@
 """HypAD-TPU benchmark — headline config: HypAD (hyperbolic) on Yahoo A1.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
 
 value      = steady-state training epoch wall-clock (seconds) on the current
              default JAX backend (the TPU under the driver).
@@ -10,7 +10,21 @@ vs_baseline= speedup vs the PyTorch-CPU reference measured on this machine
              2.247 s/epoch on Yahoo A1 hyperbolic, batch 64, lr 5e-4
              (recorded 2026-08-16; see BASELINE.md).
 
-Also reports detection throughput (windows/sec) on stderr for the record.
+extras (all measured in the same run, full-framework coverage):
+  eucl_epoch_s / eucl_vs_baseline — TadGAN euclidean epoch on NAB
+             Twitter_volume_AAPL vs the 0.542 s reference baseline
+  hyper_scoring_wps / eucl_dtw_scoring_wps — detection throughput
+             (windows/sec) for the hyperbolic and euclidean-DTW scoring
+             pipelines (reference: 392.6 / ~193 windows/s)
+  pallas_ok / pallas_kde_tie_flips / pallas_mobius_maxdiff — on-chip
+             equivalence of the hand-tiled Mosaic kernels vs their jnp
+             references, re-proven on every bench run. mobius_linear_fused
+             must match within 1e-6 (observed <=2e-9). The KDE argmax is
+             value-exact except on density TIES, where Mosaic's reduction
+             order can legitimately select a different sample point of the
+             same row (observed: 1 row in 1419); pallas_ok requires every
+             differing value to be a true sample of its row and <=0.5% of
+             rows to differ.
 """
 
 import json
@@ -21,63 +35,139 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_EPOCH_SECONDS = 2.247       # PyTorch-CPU reference, Yahoo A1 hyperbolic
+REF_EUCL_EPOCH_SECONDS = 0.542  # PyTorch-CPU reference, NAB euclidean
 REF_DETECT_WPS = 392.6          # PyTorch-CPU reference detection throughput
 
 N_TIMED_EPOCHS = 20
 
 
-def main():
+def _timed_epochs(tr, state, X, multi_fn, key):
+    """One warm 20-epoch program; forced-completion timing."""
+    import jax
+
+    state, m = multi_fn(state, X, jax.random.fold_in(key, 1000))
+    float(m["decoder_loss"][-1])
+    t0 = time.time()
+    state, m = multi_fn(state, X, jax.random.fold_in(key, 0))
+    float(m["decoder_loss"][-1])
+    return state, (time.time() - t0) / N_TIMED_EPOCHS
+
+
+def _train_bench(hyperbolic, csv, yahoo, interval, mesh, batch):
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from hypad_tpu.data.pipeline import load_signal_dataset
     from hypad_tpu.models.tadgan import init_tadgan
-    from hypad_tpu.parallel.mesh import batch_multiple, make_mesh
     from hypad_tpu.train import trainer as tr
-    from hypad_tpu.detect import scorer as sc
 
-    data_root = os.environ.get("HYPAD_DATA", "/root/reference/data")
-    csv = os.path.join(data_root, "YAHOO", "A1Benchmark", "real_1.csv")
-    data = load_signal_dataset(csv, interval=1, yahoo=True)
+    data = load_signal_dataset(csv, interval=interval, yahoo=yahoo)
     X = jnp.asarray(data.X)
-
-    mesh = make_mesh("all")
     # init on host: building ~50 tiny tensors through the device tunnel is
     # ~30s of round-trips; one bulk transfer afterwards is milliseconds
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_tadgan(jax.random.PRNGKey(0), signal_shape=100,
-                             hyperbolic=True)
-        state = tr.init_train_state(params, lr=5e-4, hyperbolic=True)
+                             hyperbolic=hyperbolic)
+        state = tr.init_train_state(params, lr=5e-4, hyperbolic=hyperbolic)
     state = jax.device_put(state, jax.devices()[0])
-    # production configuration: N epochs fused into one device program;
-    # batch rounded to a dp-divisible size (64 on a single chip)
+    multi_fn = tr.build_multi_epoch_fn(5e-4, hyperbolic, batch,
+                                       N_TIMED_EPOCHS, mesh=mesh)
+    state, epoch_s = _timed_epochs(tr, state, X, multi_fn,
+                                   jax.random.PRNGKey(1))
+    return data, state, epoch_s
+
+
+def _pallas_onchip_check(data, state):
+    """On-chip jnp-vs-Pallas equivalence for both kernels (skipped -> None
+    on non-TPU backends where compiled Mosaic is unavailable). Returns
+    (ok, kde_tie_flips, mobius_maxdiff)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if "TPU" not in jax.devices()[0].device_kind.upper():
+        return None, None, None
+    from hypad_tpu.detect.scorer import _critic_antidiag, run_inference
+    from hypad_tpu.manifold.kernels import mobius_linear_fused
+    from hypad_tpu.models.tadgan import mobius_linear
+    from hypad_tpu.ops.kde import kde_argmax_rows
+    from hypad_tpu.ops.kde_pallas import kde_argmax_rows_pallas
+
+    # KDE: real critic anti-diagonals from the trained A1 model
+    inf = run_inference(state.params, data.X, True)
+    critic = jnp.asarray(inf.critic_score, jnp.float32)
+    vals, mask = jax.jit(_critic_antidiag, static_argnums=(1, 2))(
+        critic, len(critic), data.X.shape[1])
+    kde_jnp = np.asarray(jax.jit(kde_argmax_rows)(vals, mask))
+    kde_pl = np.asarray(jax.jit(kde_argmax_rows_pallas)(vals, mask))
+    diff_rows = np.nonzero(kde_jnp != kde_pl)[0]
+    v = np.asarray(vals)
+    m = np.asarray(mask)
+    # a differing value is only acceptable if it is a true sample point of
+    # its row (a density-tie flipped by reduction order)
+    legit = all(kde_pl[i] in v[i][m[i]] for i in diff_rows)
+    kde_ok = legit and len(diff_rows) <= max(1, int(0.005 * len(kde_jnp)))
+
+    # MobiusLinear: ball embedding of the real test windows
+    p = state.params["decoder"]["hyperbolic_linear"]
+    x = jnp.asarray(data.X[:512], jnp.float32)
+    ml_jnp = np.asarray(jax.jit(mobius_linear)(p, x))
+    ml_pl = np.asarray(jax.jit(mobius_linear_fused)(p, x))
+    ml_maxdiff = float(np.abs(ml_jnp - ml_pl).max())
+    ml_ok = ml_maxdiff <= 1e-6
+
+    if not (kde_ok and ml_ok):
+        print(f"[bench] PALLAS MISMATCH kde_ok={kde_ok} "
+              f"({len(diff_rows)} rows, legit_ties={legit}) "
+              f"mobius_ok={ml_ok} (maxdiff {ml_maxdiff})",
+              file=sys.stderr)
+    return bool(kde_ok and ml_ok), int(len(diff_rows)), ml_maxdiff
+
+
+def main():
+    import jax
+
+    from hypad_tpu.detect import scorer as sc
+    from hypad_tpu.parallel.mesh import batch_multiple, make_mesh
+
+    data_root = os.environ.get("HYPAD_DATA", "/root/reference/data")
+    mesh = make_mesh("all")
     batch = batch_multiple(64, mesh)
-    multi_fn = tr.build_multi_epoch_fn(5e-4, True, batch, N_TIMED_EPOCHS,
-                                       mesh=mesh)
 
-    # warmup / compile; fetching a metric VALUE forces real completion
-    # (block_until_ready alone can return early on tunneled backends)
-    key = jax.random.PRNGKey(1)
-    state, m = multi_fn(state, X, jax.random.fold_in(key, 1000))
-    float(m["decoder_loss"][-1])
+    # ---- headline: hyperbolic Yahoo A1 training epoch
+    a1_csv = os.path.join(data_root, "YAHOO", "A1Benchmark", "real_1.csv")
+    data, state, epoch_s = _train_bench(True, a1_csv, True, 1, mesh, batch)
 
+    # ---- euclidean NAB training epoch (the other half of the framework)
+    nab_csv = os.path.join(data_root, "Twitter_volume_AAPL.csv")
+    _, _, eucl_epoch_s = _train_bench(False, nab_csv, False, 21600, mesh,
+                                      batch)
+
+    # ---- scoring throughput, hyperbolic pipeline (mesh-sharded when >1 dev)
+    inf = sc.run_inference(state.params, data.X, True, mesh=mesh)
+    sc.score_anomalies_hyperbolic(inf, "uncertainty", mesh=mesh)  # warm
     t0 = time.time()
-    state, m = multi_fn(state, X, jax.random.fold_in(key, 0))
-    final_loss = float(m["decoder_loss"][-1])
-    epoch_s = (time.time() - t0) / N_TIMED_EPOCHS
+    sc.score_anomalies_hyperbolic(inf, "uncertainty", mesh=mesh)
+    hyper_wps = len(data.X) / (time.time() - t0)
 
-    # detection throughput (scoring pipeline, warm)
-    inf = sc.run_inference(state.params, data.X, True)
-    sc.score_anomalies_hyperbolic(inf, "uncertainty")  # compile warmup
+    # ---- scoring throughput, euclidean-DTW pipeline
+    y = data.X
+    y_hat = inf.eucl_recons
+    sc.score_anomalies_euclidean(y, y_hat, inf.critic_score, "dtw", "mult",
+                                 mesh=mesh)  # warm
     t0 = time.time()
-    scores = sc.score_anomalies_hyperbolic(inf, "uncertainty")
-    det_s = time.time() - t0
-    wps = len(data.X) / det_s
+    sc.score_anomalies_euclidean(y, y_hat, inf.critic_score, "dtw", "mult",
+                                 mesh=mesh)
+    eucl_wps = len(y) / (time.time() - t0)
+
+    # ---- on-chip Pallas validation
+    pallas_ok, kde_flips, ml_maxdiff = _pallas_onchip_check(data, state)
 
     print(
         f"[bench] devices={jax.device_count()} epoch={epoch_s:.4f}s "
-        f"detect={det_s:.3f}s ({wps:.0f} windows/s, ref {REF_DETECT_WPS})",
+        f"eucl_epoch={eucl_epoch_s:.4f}s hyper_scoring={hyper_wps:.0f}w/s "
+        f"eucl_dtw_scoring={eucl_wps:.0f}w/s pallas_ok={pallas_ok} "
+        f"(kde_tie_flips={kde_flips}, mobius_maxdiff={ml_maxdiff})",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -85,6 +175,17 @@ def main():
         "value": round(epoch_s, 4),
         "unit": "s",
         "vs_baseline": round(REF_EPOCH_SECONDS / epoch_s, 2),
+        "extras": {
+            "eucl_epoch_s": round(eucl_epoch_s, 4),
+            "eucl_vs_baseline": round(REF_EUCL_EPOCH_SECONDS / eucl_epoch_s,
+                                      2),
+            "hyper_scoring_wps": round(hyper_wps),
+            "eucl_dtw_scoring_wps": round(eucl_wps),
+            "ref_scoring_wps": REF_DETECT_WPS,
+            "pallas_ok": pallas_ok,
+            "pallas_kde_tie_flips": kde_flips,
+            "pallas_mobius_maxdiff": ml_maxdiff,
+        },
     }))
 
 
