@@ -28,9 +28,8 @@ windows, per-window distances) carry sharding constraints over it, so XLA
 partitions the whole pipeline across devices and inserts the few collectives
 (quantile/std reductions, rolling-mean halos) over ICI. dp-sharded scoring
 is asserted equal to single-device scoring in tests/test_sharded_scoring.py.
-The Pallas KDE kernel is a single-device program; when a multi-device mesh
-is active the jnp KDE path is used instead (GSPMD cannot partition an opaque
-pallas_call).
+The Pallas KDE kernel (opaque to GSPMD) is mesh-parallelized explicitly via
+shard_map over its row axis (ops/kde_pallas.kde_argmax_rows_pallas_sharded).
 """
 
 from __future__ import annotations
@@ -177,7 +176,13 @@ def _critic_scores_device(critic, width, smooth_window, use_pallas=False,
     vals, mask = _critic_antidiag(critic, n, width)
     # shard the (T, width) anti-diagonal rows: each device KDE-fits its slab
     vals, mask = constrain(vals), constrain(mask)
-    if use_pallas:
+    if use_pallas and mesh is not None:
+        from hypad_tpu.ops.kde_pallas import kde_argmax_rows_pallas_sharded
+
+        # pallas_call is opaque to GSPMD; the mesh partitioning is expressed
+        # explicitly with shard_map (row-independent, no collectives)
+        kde_max = kde_argmax_rows_pallas_sharded(vals, mask, mesh)
+    elif use_pallas:
         from hypad_tpu.ops.kde_pallas import kde_argmax_rows_pallas
 
         kde_max = kde_argmax_rows_pallas(vals, mask)
@@ -204,11 +209,9 @@ def final_critic_scores(critic_score, true_signal, mesh=None):
     crashing. Identical for N >= 100 (see README)."""
     n, w = true_signal.shape
     smooth_window = math.trunc(n * 0.01)
-    # the Pallas kernel is a single-device program; the jnp path partitions
-    use_pallas = _use_pallas_kde() and mesh is None
     out = _critic_scores_device(jnp.asarray(critic_score, jnp.float32), w,
                                 max(smooth_window, 1),
-                                use_pallas=use_pallas, mesh=mesh)
+                                use_pallas=_use_pallas_kde(), mesh=mesh)
     return np.asarray(out)
 
 

@@ -121,3 +121,34 @@ def kde_argmax_rows_pallas(vals, mask, interpret=None):
         # plugin platform name but is still a Mosaic-capable TPU
         interpret = "TPU" not in jax.devices()[0].device_kind.upper()
     return _kde_argmax_rows_pallas_impl(vals, mask, interpret)
+
+
+def kde_argmax_rows_pallas_sharded(vals, mask, mesh, interpret=None):
+    """Mesh-parallel Mosaic KDE: shard_map the row-wise kernel over the
+    ``dp`` axis so each device runs the compiled Pallas program on its own
+    row slab (pallas_call is opaque to GSPMD, so the partitioning must be
+    expressed manually; the computation is row-independent, so no
+    collectives are needed). Rows are padded to a mesh multiple and the
+    padding sliced off (padded rows take the all-masked median-fallback
+    path and are discarded)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        interpret = "TPU" not in jax.devices()[0].device_kind.upper()
+    n = mesh.devices.size
+    T = vals.shape[0]
+    Tp = -(-T // n) * n
+    vp = jnp.zeros((Tp, vals.shape[1]), vals.dtype).at[:T].set(vals)
+    mp = jnp.zeros((Tp, mask.shape[1]), mask.dtype).at[:T].set(mask)
+    body = functools.partial(_kde_argmax_rows_pallas_impl,
+                             interpret=interpret)
+    specs = dict(mesh=mesh, in_specs=(P("dp", None), P("dp", None)),
+                 out_specs=P("dp"))
+    try:
+        # replication checking can't see through an opaque pallas_call;
+        # disable it (the kernel output is genuinely dp-varying)
+        fn = shard_map(body, check_vma=False, **specs)
+    except TypeError:  # older jax spells it check_rep
+        fn = shard_map(body, check_rep=False, **specs)
+    return fn(vp, mp)[:T]

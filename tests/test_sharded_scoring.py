@@ -117,3 +117,23 @@ def test_sharded_detect_end_to_end_matches(mesh, data, tmp_path):
     assert [tuple(iv) for iv in r1["intervals"]] == \
            [tuple(iv) for iv in r2["intervals"]]
     assert list(r1["confusion"]) == list(r2["confusion"])
+
+
+def test_sharded_pallas_kde_matches_jnp(mesh):
+    """The shard_map'd Mosaic KDE (interpret mode on the CPU mesh) must
+    equal the jnp reference row-for-row, including uneven row counts."""
+    import jax.numpy as jnp
+
+    from hypad_tpu.ops.kde import kde_argmax_rows
+    from hypad_tpu.ops.kde_pallas import kde_argmax_rows_pallas_sharded
+
+    rng = np.random.default_rng(7)
+    T, W = 101, 40  # not a multiple of 8 -> exercises the pad+slice path
+    vals = jnp.asarray(rng.standard_normal((T, W)), jnp.float32)
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(W)[None, :]
+    mask = (j <= (i % W)) | (j < 3)  # ragged but nonempty rows
+    want = np.asarray(kde_argmax_rows(vals, mask))
+    got = np.asarray(kde_argmax_rows_pallas_sharded(vals, mask, mesh,
+                                                    interpret=True))
+    np.testing.assert_array_equal(got, want)
