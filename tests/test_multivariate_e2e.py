@@ -74,7 +74,7 @@ def test_swat_full_cli_train_detect(swat_root, tmp_path, capsys):
     run_dir = (tmp_path / "trained_models" /
                "models_hyper_SWAT_2_0.0005" / "SWAT")
     assert (run_dir / "anomalies.csv").exists()       # detector artifact
-    assert (run_dir / "swat.yaml").exists()           # config snapshot
+    assert (run_dir / "config.yaml").exists()         # config snapshot
     assert (run_dir / "state_final").exists()         # orbax checkpoint
 
     # detect-only entry re-loads the final checkpoint
