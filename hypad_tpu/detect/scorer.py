@@ -167,10 +167,9 @@ def _use_pallas_kde():
     return "TPU" in jax.devices()[0].device_kind.upper()
 
 
-@functools.partial(jax.jit, static_argnames=("width", "smooth_window",
-                                             "use_pallas", "mesh"))
-def _critic_scores_device(critic, width, smooth_window, use_pallas=False,
-                          mesh=None):
+def _critic_scores_core(critic, width, smooth_window, use_pallas, mesh):
+    """Traced body of the critic pipeline (shared by the standalone jit and
+    the fused hyperbolic scorer)."""
     n = critic.shape[0]
     constrain = _row_constraint(mesh)
     vals, mask = _critic_antidiag(critic, n, width)
@@ -197,6 +196,14 @@ def _critic_scores_device(critic, width, smooth_window, use_pallas=False,
     z = constrain(jnp.abs((kde_max - mean) / std) + 1.0)
     return rolling_mean_centered(z, smooth_window,
                                  max(smooth_window // 2, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "smooth_window",
+                                             "use_pallas", "mesh"))
+def _critic_scores_device(critic, width, smooth_window, use_pallas=False,
+                          mesh=None):
+    return _critic_scores_core(critic, width, smooth_window, use_pallas,
+                               mesh)
 
 
 def final_critic_scores(critic_score, true_signal, mesh=None):
@@ -350,19 +357,64 @@ def hyperbolic_window_scores(recons_signal, true_signal, mesh=None):
     return np.asarray(d)
 
 
+def _combine_device(combination, critic_scores, rec_scores, recons):
+    """Traced combine_scores (:336-362): same arithmetic as the host
+    version, jnp so the whole hyperbolic pipeline stays in one program."""
+    if combination == "sum":
+        return 0.2 * critic_scores + 0.8 * rec_scores
+    if combination == "mult":
+        return critic_scores * rec_scores
+    if combination == "uncertainty":
+        unc = jnp.linalg.norm(recons, axis=1)
+        return critic_scores * rec_scores * unc
+    if combination == "critic":
+        return critic_scores
+    if combination == "critic_uncertainty":
+        return critic_scores * jnp.linalg.norm(recons, axis=1)
+    if combination == "sum_uncertainty":
+        unc = jnp.linalg.norm(recons, axis=1)
+        n = rec_scores.shape[0]
+        return 0.5 * critic_scores * unc[:n] + 0.5 * rec_scores * unc[:n]
+    if combination == "rec":
+        return rec_scores
+    if combination == "rec_uncertainty":
+        return rec_scores * jnp.linalg.norm(recons, axis=1)
+    raise ValueError(f"unknown combination {combination!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("combination", "width",
+                                             "smooth_window", "use_pallas",
+                                             "mesh"))
+def _hyper_scores_fused(recons, true, critic, combination, width,
+                        smooth_window, use_pallas, mesh=None):
+    """The entire hyperbolic scoring pipeline — per-window acosh distances,
+    critic KDE smoothing, combination — as ONE device program. Detection on
+    the tunneled backend is round-trip-bound; one call instead of three
+    roughly halves warm scoring latency."""
+    c = _row_constraint(mesh)
+    rec_scores = st.acosh_poincare_distance(c(recons), c(true))
+    critic_scores = []
+    if combination in CRITIC_COMBOS:
+        critic_scores = _critic_scores_core(critic, width, smooth_window,
+                                            use_pallas, mesh)
+        critic_scores = critic_scores[: rec_scores.shape[0]]
+    return _combine_device(combination, critic_scores, rec_scores, recons)
+
+
 def score_anomalies_hyperbolic(inference: InferenceOutput, combination,
                                mesh=None):
     """Hyperbolic univariate scoring (:54-86): per-window rec scores,
-    critic scores truncated to N windows, combined."""
-    rec_scores = hyperbolic_window_scores(inference.recons_signal,
-                                          inference.true_signal, mesh=mesh)
-    critic_scores = []
-    if combination in CRITIC_COMBOS:
-        critic_scores = final_critic_scores(
-            inference.critic_score, inference.true_signal, mesh=mesh)
-        critic_scores = critic_scores[: rec_scores.shape[0]]
-    return combine_scores(combination, critic_scores, rec_scores,
-                          inference.recons_signal)
+    critic scores truncated to N windows, combined. Fused into a single
+    jitted program; stage-for-stage equality with the host-combined path is
+    asserted in tests/test_scoring.py."""
+    n, w = inference.true_signal.shape
+    smooth_window = max(math.trunc(n * 0.01), 1)
+    out = _hyper_scores_fused(
+        jnp.asarray(inference.recons_signal, jnp.float32),
+        jnp.asarray(inference.true_signal, jnp.float32),
+        jnp.asarray(inference.critic_score, jnp.float32),
+        combination, w, smooth_window, _use_pallas_kde(), mesh=mesh)
+    return np.asarray(out)
 
 
 def score_anomalies_multivariate(inference: InferenceOutput, combination,

@@ -154,3 +154,27 @@ def test_weighted_confusion_matrix_is_documented_unsupported():
     df = pd.DataFrame({"start": [0], "end": [1]})
     with pytest.raises(NotImplementedError):
         mt.contextual_confusion_matrix(df, df, weighted=True)
+
+
+def test_fused_hyperbolic_scoring_equals_staged():
+    """score_anomalies_hyperbolic runs the whole pipeline as ONE device
+    program; it must equal the staged path (per-stage functions + host
+    combine_scores) for every combination mode."""
+    rng = np.random.default_rng(11)
+    n, w = 260, 100
+    recons = (rng.uniform(-0.3, 0.3, (n, w)) / np.sqrt(w)).astype(np.float32)
+    true = (rng.uniform(-0.3, 0.3, (n, w)) / np.sqrt(w)).astype(np.float32)
+    critic = rng.standard_normal(n).astype(np.float32)
+    inf = sc.InferenceOutput(recons_signal=recons, true_signal=true,
+                             critic_score=critic)
+    for mode in ("mult", "uncertainty", "sum", "sum_uncertainty", "critic",
+                 "critic_uncertainty", "rec", "rec_uncertainty"):
+        staged_rec = sc.hyperbolic_window_scores(recons, true)
+        staged_critic = []
+        if mode in sc.CRITIC_COMBOS:
+            staged_critic = sc.final_critic_scores(critic, true)
+            staged_critic = staged_critic[: staged_rec.shape[0]]
+        want = sc.combine_scores(mode, staged_critic, staged_rec, recons)
+        got = sc.score_anomalies_hyperbolic(inf, mode)
+        np.testing.assert_allclose(got, np.asarray(want, np.float32),
+                                   rtol=1e-6, atol=1e-7, err_msg=mode)
