@@ -226,12 +226,10 @@ def final_critic_scores(critic_score, true_signal, mesh=None):
 # reconstruction errors (euclidean path)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("rec_error_type",
-                                             "smoothing_window",
-                                             "score_window", "smooth",
-                                             "mesh"))
-def _reconstruction_errors_device(y, y_hat, rec_error_type, smoothing_window,
-                                  score_window=10, smooth=True, mesh=None):
+def _rec_errors_core(y, y_hat, rec_error_type, smoothing_window,
+                     score_window=10, smooth=True, mesh=None):
+    """Traced body of the reconstruction-error pipeline (shared by the
+    standalone jit and the fused euclidean scorer)."""
     constrain = _row_constraint(mesh)
     true = constrain(true_series(constrain(y)))
     pred = constrain(unroll_median(constrain(y_hat)))
@@ -249,6 +247,12 @@ def _reconstruction_errors_device(y, y_hat, rec_error_type, smoothing_window,
         errors = rolling_mean_centered(errors, smoothing_window,
                                        max(smoothing_window // 2, 1))
     return errors, pred
+
+
+_reconstruction_errors_device = functools.partial(
+    jax.jit, static_argnames=("rec_error_type", "smoothing_window",
+                              "score_window", "smooth", "mesh"))(
+    _rec_errors_core)
 
 
 def reconstruction_errors(y, y_hat, rec_error_type="point", score_window=10,
@@ -317,20 +321,21 @@ def combine_scores(combination, critic_scores, rec_scores, recons_signal):
 # top-level scoring entries
 # ---------------------------------------------------------------------------
 
-def score_anomalies_euclidean(y, y_hat, critic, rec_error_type="point",
-                              comb="mult", lambda_rec=0.5, mesh=None):
-    """Reference score_anomalies (:407-576) minus the pickle cache plumbing
-    (artifact caching lives in utils/artifacts.py). Returns final (T,) scores.
-    """
-    critic_scores = final_critic_scores(critic, y, mesh=mesh)
-    # score_anomalies passes error_smooth_window = trunc(N*0.01) as an INT
-    # (:459-460), which bypasses reconstruction_errors' 200 cap
-    errors, _ = reconstruction_errors(
-        y, y_hat, rec_error_type,
-        smoothing_window=math.trunc(len(y) * 0.01), mesh=mesh)
-    rec_scores = _zscore_clip(errors)
+@functools.partial(jax.jit, static_argnames=("rec_error_type", "comb",
+                                             "width", "smooth_window",
+                                             "use_pallas", "mesh"))
+def _eucl_scores_fused(y, y_hat, critic, rec_error_type, comb, width,
+                       smooth_window, use_pallas, lambda_rec=0.5, mesh=None):
+    """The euclidean score_anomalies pipeline as ONE device program (same
+    round-trip rationale as _hyper_scores_fused)."""
+    critic_scores = _critic_scores_core(critic, width, smooth_window,
+                                        use_pallas, mesh)
+    errors, _ = _rec_errors_core(y, y_hat, rec_error_type, smooth_window,
+                                 mesh=mesh)
+    z = zscore(errors)
+    rec_scores = jnp.clip(z, 0.0, None) + 1.0
     if comb == "mult":
-        return np.multiply(critic_scores, rec_scores)
+        return critic_scores * rec_scores
     if comb == "sum":
         return ((1 - lambda_rec) * (critic_scores - 1)
                 + lambda_rec * (rec_scores - 1))
@@ -340,6 +345,31 @@ def score_anomalies_euclidean(y, y_hat, critic, rec_error_type="point",
         return critic_scores
     raise ValueError(
         f'Unknown combination specified {comb}, use "mult", "sum", or "rec"')
+
+
+def score_anomalies_euclidean(y, y_hat, critic, rec_error_type="point",
+                              comb="mult", lambda_rec=0.5, mesh=None):
+    """Reference score_anomalies (:407-576) minus the pickle cache plumbing
+    (artifact caching lives in utils/artifacts.py). Returns final (T,)
+    scores. Fused into a single jitted program; equality with the staged
+    stage functions is asserted in tests/test_scoring.py.
+
+    NOTE: score_anomalies passes error_smooth_window = trunc(N*0.01) as an
+    INT (:459-460), which bypasses reconstruction_errors' 200 cap; the same
+    trunc(N*0.01) is the critic smooth window (:330).
+    """
+    if comb not in ("mult", "sum", "rec", "critic"):
+        raise ValueError(
+            f'Unknown combination specified {comb}, use "mult", "sum", or '
+            f'"rec"')
+    n = len(y)
+    smooth_window = max(math.trunc(n * 0.01), 1)
+    out = _eucl_scores_fused(
+        jnp.asarray(y, jnp.float32), jnp.asarray(y_hat, jnp.float32),
+        jnp.asarray(critic, jnp.float32), rec_error_type, comb,
+        np.asarray(y).shape[1], smooth_window, _use_pallas_kde(),
+        lambda_rec=lambda_rec, mesh=mesh)
+    return np.asarray(out)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
