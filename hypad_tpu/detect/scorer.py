@@ -447,19 +447,36 @@ def score_anomalies_hyperbolic(inference: InferenceOutput, combination,
     return np.asarray(out)
 
 
-def score_anomalies_multivariate(inference: InferenceOutput, combination,
-                                 hyperbolic, mesh=None):
-    """Multivariate scoring (:153-196): per-timestep scores over (N, F)."""
-    recons = inference.recons_signal
-    true = inference.true_signal
+@functools.partial(jax.jit, static_argnames=("combination", "hyperbolic",
+                                             "width", "smooth_window",
+                                             "use_pallas", "mesh"))
+def _mv_scores_fused(recons, true, critic, combination, hyperbolic, width,
+                     smooth_window, use_pallas, mesh=None):
+    c = _row_constraint(mesh)
     if hyperbolic:
-        raw = hyperbolic_window_scores(recons, true, mesh=mesh)
+        raw = st.acosh_poincare_distance(c(recons), c(true))
     else:
-        raw = np.linalg.norm(true - recons, axis=1)
-    rec_scores = _zscore_clip(raw)
+        raw = jnp.linalg.norm(c(true) - c(recons), axis=1)
+    rec_scores = jnp.clip(zscore(raw), 0.0, None) + 1.0
     critic_scores = []
     if combination in CRITIC_COMBOS:
-        critic_scores = final_critic_scores(inference.critic_score, true,
-                                            mesh=mesh)
+        critic_scores = _critic_scores_core(critic, width, smooth_window,
+                                            use_pallas, mesh)
         critic_scores = critic_scores[: rec_scores.shape[0]]
-    return combine_scores(combination, critic_scores, rec_scores, recons)
+    return _combine_device(combination, critic_scores, rec_scores, recons)
+
+
+def score_anomalies_multivariate(inference: InferenceOutput, combination,
+                                 hyperbolic, mesh=None):
+    """Multivariate scoring (:153-196): per-timestep scores over (N, F).
+    Fused into a single jitted program like the univariate paths."""
+    true = np.asarray(inference.true_signal)
+    n, w = true.shape
+    smooth_window = max(math.trunc(n * 0.01), 1)
+    out = _mv_scores_fused(
+        jnp.asarray(inference.recons_signal, jnp.float32),
+        jnp.asarray(true, jnp.float32),
+        jnp.asarray(inference.critic_score, jnp.float32),
+        combination, hyperbolic, w, smooth_window, _use_pallas_kde(),
+        mesh=mesh)
+    return np.asarray(out)
