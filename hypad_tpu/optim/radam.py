@@ -37,6 +37,7 @@ jit-friendly and vmap/shard_map-safe (pure functions of pytrees).
 
 from __future__ import annotations
 
+import itertools
 from typing import Any, NamedTuple
 
 import jax
@@ -155,10 +156,51 @@ def riemannian_adam(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
 
 def adam(lr, b1=0.9, b2=0.999, eps=1e-8):
     """Plain Adam (the critics' optimizer, train.py:274-275) with the same
-    non-additive API so the trainer treats all optimizers uniformly."""
-    return riemannian_adam(lr, b1=b1, b2=b2, eps=eps, weight_decay=0.0,
-                           stabilize=None,
-                           mask=False)  # sentinel: no manifold leaves
+    non-additive API so the trainer treats all optimizers uniformly.
+
+    TPU note: the moments are stored as ONE flat vector (PackedAdamState) —
+    the fused epoch program is kernel-latency-bound and a per-leaf update
+    costs ~10 tiny kernels x n_leaves per step; packed, the whole update is
+    a handful of vector ops plus one ravel/concat of the incoming grads and
+    one split of the outgoing params. Identical per-element arithmetic
+    (lockstep vs torch.optim.Adam in tests/test_optim.py)."""
+
+    def init(params):
+        leaves = jax.tree_util.tree_leaves(params)
+        size = sum(leaf.size for leaf in leaves)
+        dtype = jnp.result_type(*leaves)
+        return PackedAdamState(step=jnp.zeros((), jnp.int32),
+                               mu=jnp.zeros((size,), dtype),
+                               nu=jnp.zeros((size,), dtype))
+
+    def update(grads, state, params):
+        flat_params, treedef = jax.tree_util.tree_flatten(params)
+        flat_grads = treedef.flatten_up_to(grads)
+        sizes = [p.size for p in flat_params]
+        splits = list(itertools.accumulate(sizes))[:-1]
+
+        step = state.step + 1
+        bc1 = 1.0 - b1 ** step.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** step.astype(jnp.float32)
+        g = jnp.concatenate([x.ravel() for x in flat_grads])
+        mu = b1 * state.mu + (1.0 - b1) * g
+        nu = b2 * state.nu + (1.0 - b2) * g * g
+        denom = jnp.sqrt(nu / bc2) + eps
+        p_vec = jnp.concatenate([x.ravel() for x in flat_params])
+        p_new = p_vec - lr * (mu / bc1) / denom
+
+        new_leaves = [x.reshape(p.shape) for x, p in
+                      zip(jnp.split(p_new, splits), flat_params)]
+        return (jax.tree_util.tree_unflatten(treedef, new_leaves),
+                PackedAdamState(step=step, mu=mu, nu=nu))
+
+    return RiemannianAdam(init=init, update=update)
+
+
+class PackedAdamState(NamedTuple):
+    step: jnp.ndarray   # scalar int32
+    mu: jnp.ndarray     # (total_params,) first moments, leaf-concatenated
+    nu: jnp.ndarray     # (total_params,) second moments
 
 
 def _all_false_like(params):

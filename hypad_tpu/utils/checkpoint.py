@@ -40,16 +40,22 @@ def restore_state(run_dir, tag) -> TrainState:
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(path)
     # orbax round-trips namedtuples as plain dicts; rebuild the typed states
-    from hypad_tpu.optim.radam import RAdamState
+    # (critic Adam states are packed flat vectors, PackedAdamState; the
+    # generator's RAdamState keeps per-leaf moment pytrees)
+    from hypad_tpu.optim.radam import PackedAdamState, RAdamState
 
-    def as_radam(d):
-        return d if isinstance(d, RAdamState) else RAdamState(**d)
+    def as_opt_state(d):
+        if isinstance(d, (RAdamState, PackedAdamState)):
+            return d
+        if isinstance(d["mu"], dict):
+            return RAdamState(**d)
+        return PackedAdamState(**d)
 
     return TrainState(
         params=restored["params"],
-        opt_cx=as_radam(restored["opt_cx"]),
-        opt_cz=as_radam(restored["opt_cz"]),
-        opt_gen=as_radam(restored["opt_gen"]),
+        opt_cx=as_opt_state(restored["opt_cx"]),
+        opt_cz=as_opt_state(restored["opt_cz"]),
+        opt_gen=as_opt_state(restored["opt_gen"]),
         epoch=restored["epoch"],
     )
 
