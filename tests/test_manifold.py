@@ -251,3 +251,58 @@ def test_mobius_scalar_mul_matches_spec(rng):
 def test_antipode_is_negation_for_negative_curvature(rng):
     x = random_ball_points(rng, (4, 8))
     np.testing.assert_array_equal(np.asarray(st.antipode(x)), -x)
+
+
+def test_full_manifold_core_matches_executed_spec(rng):
+    """Every runtime manifold op golden-tested against the vendored spec
+    EXECUTED from the reference checkout (float64 torch), complementing the
+    hand-written oracles above. k = -1 (the only curvature HypAD uses)."""
+    import torch
+
+    mod = _refmath()
+    k64 = torch.tensor(-1.0, dtype=torch.float64)
+    x = random_ball_points(rng, (16, 10)).astype(np.float64)
+    y = random_ball_points(rng, (16, 10)).astype(np.float64)
+    u = (rng.standard_normal((16, 10)) * 0.3)
+    w = rng.standard_normal((16, 10))
+    m = (rng.standard_normal((6, 10)) * 0.3)
+    tx, ty, tu, tw, tm = (torch.tensor(a) for a in (x, y, u, w, m))
+
+    def chk(got, want, name, rtol=3e-5, atol=1e-6):
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=rtol, atol=atol, err_msg=name)
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    chk(st.tan_k(f32(u)), mod.tan_k(tu, k64), "tan_k")
+    chk(st.artan_k(f32(x)), mod.artan_k(tx, k64), "artan_k")
+    chk(st.lambda_x(f32(x)), mod.lambda_x(tx, k=k64), "lambda_x")
+    chk(st.mobius_add(f32(x), f32(y)), mod.mobius_add(tx, ty, k=k64),
+        "mobius_add")
+    chk(st.gyration(f32(x), f32(y), f32(w)), mod.gyration(tx, ty, tw, k=k64),
+        "gyration")
+    chk(st.expmap0(f32(u)), mod.expmap0(tu, k=k64), "expmap0")
+    chk(st.logmap0(f32(x)), mod.logmap0(tx, k=k64), "logmap0")
+    chk(st.expmap(f32(x), f32(u)), mod.expmap(tx, tu, k=k64), "expmap")
+    chk(st.dist(f32(x), f32(y)), mod.dist(tx, ty, k=k64), "dist")
+    chk(st.dist0(f32(x)), mod.dist0(tx, k=k64), "dist0")
+    chk(st.mobius_matvec(f32(m), f32(x)), mod.mobius_matvec(tm, tx, k=k64),
+        "mobius_matvec")
+    chk(st.mobius_pointwise_mul(f32(w), f32(x)),
+        mod.mobius_pointwise_mul(tw, tx, k=k64), "mobius_pointwise_mul")
+    chk(st.parallel_transport(f32(x), f32(y), f32(w)),
+        mod.parallel_transport(tx, ty, tw, k=k64), "parallel_transport")
+    chk(st.egrad2rgrad(f32(x), f32(w)), mod.egrad2rgrad(tx, tw, k=k64),
+        "egrad2rgrad")
+    # dist2plane: spec signature dist2plane(x, z, p) where z=plane point,
+    # a=tangent (math_.py:1501-1524)
+    p_pt = random_ball_points(rng, (10,)).astype(np.float64)
+    a = rng.standard_normal(10)
+    chk(st.dist2plane(f32(x), f32(p_pt), f32(a), signed=True),
+        mod.dist2plane(tx, torch.tensor(p_pt), torch.tensor(a), k=k64,
+                       signed=True), "dist2plane")
+    # project: spec clips only points outside the ball; feed far points
+    far = (rng.standard_normal((8, 10)) * 5).astype(np.float64)
+    # float32 branch uses eps=4e-3: compare vs spec evaluated in f32
+    want = mod.project(torch.tensor(far, dtype=torch.float32),
+                       k=torch.tensor(-1.0))
+    chk(st.project(jnp.asarray(far, jnp.float32)), want, "project")
