@@ -51,12 +51,21 @@ def detect(params, state_params, test_data, run_path, read_path="",
             known_anomalies = load_anomalies(params.signal, params.data_root)
 
     # ---- inference (cached when params.load; anomaly_detection.py:53-61)
+    # Univariate fresh runs take the ONE-CALL path: forward + full scoring
+    # in a single device program (scorer.detect_scores). Cached re-runs and
+    # multivariate use the staged functions on the stored tensors.
+    one_call_scores = None
     cached = artifacts.load_inference(run_path) if params.load else None
     if cached is not None:
         inference, true_index = cached
     else:
-        inference = sc.run_inference(state_params, test_data.X,
-                                     params.hyperbolic, mesh=mesh)
+        if params.signal != "multivariate":
+            one_call_scores, inference = sc.detect_scores(
+                state_params, test_data.X, params.hyperbolic,
+                params.combination, rec_error=params.rec_error, mesh=mesh)
+        else:
+            inference = sc.run_inference(state_params, test_data.X,
+                                         params.hyperbolic, mesh=mesh)
         # the reference's true_index is the FULL aggregated timeline
         # (SignalDataset.index, anomaly_detection.py:133 via __getitem__'s
         # second element), length n_buckets = N + W — it must cover all
@@ -91,6 +100,8 @@ def detect(params, state_params, test_data, run_path, read_path="",
                 comb=params.combination, mesh=mesh)
             cache_key = (f"scores_eucl_{params.rec_error}_"
                          f"{params.combination}")
+        if one_call_scores is not None:
+            compute = lambda: one_call_scores  # noqa: E731
         final_scores = artifacts.cache_scores(run_path, cache_key, compute,
                                               enabled=params.load)
         intervals = iv.find_anomalies(

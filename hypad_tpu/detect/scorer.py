@@ -321,13 +321,10 @@ def combine_scores(combination, critic_scores, rec_scores, recons_signal):
 # top-level scoring entries
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("rec_error_type", "comb",
-                                             "width", "smooth_window",
-                                             "use_pallas", "mesh"))
-def _eucl_scores_fused(y, y_hat, critic, rec_error_type, comb, width,
-                       smooth_window, use_pallas, lambda_rec=0.5, mesh=None):
-    """The euclidean score_anomalies pipeline as ONE device program (same
-    round-trip rationale as _hyper_scores_fused)."""
+def _eucl_scores_core(y, y_hat, critic, rec_error_type, comb, width,
+                      smooth_window, use_pallas, lambda_rec=0.5, mesh=None):
+    """Traced body of the euclidean score_anomalies pipeline (shared by the
+    standalone fused jit and the one-call detector)."""
     critic_scores = _critic_scores_core(critic, width, smooth_window,
                                         use_pallas, mesh)
     errors, _ = _rec_errors_core(y, y_hat, rec_error_type, smooth_window,
@@ -345,6 +342,12 @@ def _eucl_scores_fused(y, y_hat, critic, rec_error_type, comb, width,
         return critic_scores
     raise ValueError(
         f'Unknown combination specified {comb}, use "mult", "sum", or "rec"')
+
+
+_eucl_scores_fused = functools.partial(
+    jax.jit, static_argnames=("rec_error_type", "comb", "width",
+                              "smooth_window", "use_pallas", "mesh"))(
+    _eucl_scores_core)
 
 
 def score_anomalies_euclidean(y, y_hat, critic, rec_error_type="point",
@@ -412,13 +415,10 @@ def _combine_device(combination, critic_scores, rec_scores, recons):
     raise ValueError(f"unknown combination {combination!r}")
 
 
-@functools.partial(jax.jit, static_argnames=("combination", "width",
-                                             "smooth_window", "use_pallas",
-                                             "mesh"))
-def _hyper_scores_fused(recons, true, critic, combination, width,
-                        smooth_window, use_pallas, mesh=None):
+def _hyper_scores_core(recons, true, critic, combination, width,
+                       smooth_window, use_pallas, mesh=None):
     """The entire hyperbolic scoring pipeline — per-window acosh distances,
-    critic KDE smoothing, combination — as ONE device program. Detection on
+    critic KDE smoothing, combination — as ONE traced program. Detection on
     the tunneled backend is round-trip-bound; one call instead of three
     roughly halves warm scoring latency."""
     c = _row_constraint(mesh)
@@ -429,6 +429,12 @@ def _hyper_scores_fused(recons, true, critic, combination, width,
                                             use_pallas, mesh)
         critic_scores = critic_scores[: rec_scores.shape[0]]
     return _combine_device(combination, critic_scores, rec_scores, recons)
+
+
+_hyper_scores_fused = functools.partial(
+    jax.jit, static_argnames=("combination", "width", "smooth_window",
+                              "use_pallas", "mesh"))(
+    _hyper_scores_core)
 
 
 def score_anomalies_hyperbolic(inference: InferenceOutput, combination,
@@ -464,6 +470,76 @@ def _mv_scores_fused(recons, true, critic, combination, hyperbolic, width,
                                             use_pallas, mesh)
         critic_scores = critic_scores[: rec_scores.shape[0]]
     return _combine_device(combination, critic_scores, rec_scores, recons)
+
+
+# ---------------------------------------------------------------------------
+# one-call detection: model forward + full scoring in a single program
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("hyperbolic", "combination",
+                                             "rec_error", "width",
+                                             "smooth_window", "use_pallas",
+                                             "mesh"))
+def _detect_device(params, X, hyperbolic, combination, rec_error, width,
+                   smooth_window, use_pallas, mesh=None):
+    c = _row_constraint(mesh)
+    Xc = c(X)
+    z = encoder_apply(params["encoder"], Xc)
+    critic = critic_x_apply(params["critic_x"], Xc)[:, 0]
+    if hyperbolic:
+        hyper, eucl = decoder_apply(params["decoder"], z, hyperbolic=True)
+        hyper_x = mobius_linear(params["decoder"]["hyperbolic_linear"], Xc)
+        scores = _hyper_scores_core(c(hyper), c(hyper_x), critic,
+                                    combination, width, smooth_window,
+                                    use_pallas, mesh)
+        return scores, (hyper, hyper_x, critic, eucl)
+    recon = decoder_apply(params["decoder"], z)
+    scores = _eucl_scores_core(Xc, c(recon), critic, rec_error, combination,
+                               width, smooth_window, use_pallas, mesh=mesh)
+    return scores, (recon, critic)
+
+
+# above this many windows the one-call path falls back to chunked inference
+# + fused scoring (full-batch activations would start to matter in HBM)
+ONE_CALL_MAX_WINDOWS = 262144
+
+
+def detect_scores(params, X, hyperbolic, combination, rec_error="point",
+                  mesh=None):
+    """ONE device program for the whole detection compute: encoder, critic,
+    decoder, ball embedding and the full scoring pipeline, returning
+    (final_scores, InferenceOutput). The staged equivalents (run_inference +
+    score_anomalies_*) remain the golden-tested parity surface; equality is
+    asserted in tests/test_scoring.py. Falls back to the staged path beyond
+    ONE_CALL_MAX_WINDOWS."""
+    X = np.asarray(X, np.float32)
+    if len(X) > ONE_CALL_MAX_WINDOWS:
+        inference = run_inference(params, X, hyperbolic, mesh=mesh)
+        if hyperbolic:
+            scores = score_anomalies_hyperbolic(inference, combination,
+                                                mesh=mesh)
+        else:
+            scores = score_anomalies_euclidean(
+                inference.true_signal, inference.recons_signal,
+                inference.critic_score, rec_error_type=rec_error,
+                comb=combination, mesh=mesh)
+        return scores, inference
+    n, w = X.shape
+    smooth_window = max(math.trunc(n * 0.01), 1)
+    scores, outs = _detect_device(
+        params, jnp.asarray(X), hyperbolic, combination, rec_error, w,
+        smooth_window, _use_pallas_kde(), mesh=mesh)
+    outs = jax.device_get(outs)
+    if hyperbolic:
+        hyper, hyper_x, critic, eucl = outs
+        inference = InferenceOutput(recons_signal=hyper, true_signal=hyper_x,
+                                    critic_score=critic, eucl_recons=eucl,
+                                    gt_signal=X)
+    else:
+        recon, critic = outs
+        inference = InferenceOutput(recons_signal=recon, true_signal=X,
+                                    critic_score=critic)
+    return np.asarray(scores), inference
 
 
 def score_anomalies_multivariate(inference: InferenceOutput, combination,

@@ -178,3 +178,39 @@ def test_fused_hyperbolic_scoring_equals_staged():
         got = sc.score_anomalies_hyperbolic(inf, mode)
         np.testing.assert_allclose(got, np.asarray(want, np.float32),
                                    rtol=1e-6, atol=1e-7, err_msg=mode)
+
+
+def test_one_call_detection_equals_staged():
+    """scorer.detect_scores (forward + scoring in ONE program) must equal
+    run_inference + the staged scorers, hyperbolic and euclidean."""
+    import jax
+
+    from hypad_tpu.models.tadgan import init_tadgan
+
+    rng = np.random.default_rng(12)
+    X = rng.uniform(-1, 1, (300, 100)).astype(np.float32)
+
+    # hyperbolic / uncertainty
+    params = init_tadgan(jax.random.PRNGKey(3), signal_shape=100,
+                         hyperbolic=True)
+    inf = sc.run_inference(params, X, True)
+    want = sc.score_anomalies_hyperbolic(inf, "uncertainty")
+    got, got_inf = sc.detect_scores(params, X, True, "uncertainty")
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got_inf.recons_signal, inf.recons_signal,
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got_inf.critic_score, inf.critic_score,
+                               rtol=1e-6, atol=1e-7)
+
+    # euclidean / dtw mult
+    params = init_tadgan(jax.random.PRNGKey(4), signal_shape=100,
+                         hyperbolic=False)
+    inf = sc.run_inference(params, X, False)
+    want = sc.score_anomalies_euclidean(
+        inf.true_signal, inf.recons_signal, inf.critic_score,
+        rec_error_type="dtw", comb="mult")
+    got, got_inf = sc.detect_scores(params, X, False, "mult",
+                                    rec_error="dtw")
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got_inf.recons_signal, inf.recons_signal,
+                               rtol=1e-6, atol=1e-7)
