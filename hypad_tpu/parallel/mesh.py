@@ -16,11 +16,19 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(devices="all", axis_name="dp"):
-    """Build a 1-D data-parallel mesh.
+def make_mesh(devices="all", axis_name="dp", shape=None, axis_names=None):
+    """Build a device mesh. Default: 1-D data-parallel over ``axis_name``.
 
     devices: 'all' | int | explicit device list. Returns None for a single
     device (the trainer then skips sharding constraints entirely).
+
+    ``shape``/``axis_names``: optional n-D layout, e.g.
+    ``make_mesh(shape=(4, 2), axis_names=("dp", "mp"))`` — the HypAD model
+    family only exercises the ``dp`` axis (TP/PP/SP/EP are documented
+    non-goals, SURVEY §2.3), but the trainer's and scorer's PartitionSpecs
+    name axes explicitly, so they run unchanged on any mesh that carries a
+    ``dp`` axis (parameters/batches replicated over the extra axes);
+    tests/test_trainer.py asserts dp-on-2D-mesh == single-device.
     """
     if devices == "all":
         devs = jax.devices()
@@ -28,6 +36,13 @@ def make_mesh(devices="all", axis_name="dp"):
         devs = jax.devices()[:devices]
     else:
         devs = list(devices)
+    if shape is not None:
+        n = int(np.prod(shape))
+        if len(devs) < n:
+            raise ValueError(f"mesh shape {shape} needs {n} devices, "
+                             f"have {len(devs)}")
+        names = axis_names or ("dp", "mp")[: len(shape)]
+        return Mesh(np.array(devs[:n]).reshape(shape), names)
     if len(devs) <= 1:
         return None
     return Mesh(np.array(devs), (axis_name,))

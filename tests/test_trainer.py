@@ -100,3 +100,25 @@ def test_data_parallel_matches_single_device():
     for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_dp_axis_of_2d_mesh_matches_single_device():
+    """The trainer names its PartitionSpec axes explicitly, so it must run
+    unchanged on an n-D mesh that carries a 'dp' axis (extra axes
+    replicated) — the composability contract for future TP/PP layouts
+    (parallel/mesh.make_mesh shape=)."""
+    from hypad_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(shape=(4, 2), axis_names=("dp", "mp"))
+    assert mesh.devices.shape == (4, 2)
+
+    state_a, logs_a = _run(hyperbolic=True, mesh=None, n_epochs=1)
+    state_b, logs_b = _run(hyperbolic=True, mesh=mesh, n_epochs=1)
+    for k in logs_a[0]:
+        np.testing.assert_allclose(logs_a[0][k], logs_b[0][k],
+                                   rtol=1e-4, atol=1e-5)
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
