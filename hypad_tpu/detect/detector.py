@@ -55,6 +55,7 @@ def detect(params, state_params, test_data, run_path, read_path="",
     # in a single device program (scorer.detect_scores). Cached re-runs and
     # multivariate use the staged functions on the stored tensors.
     one_call_scores = None
+    save_artifacts = getattr(params, "save_artifacts", True) or params.load
     cached = artifacts.load_inference(run_path) if params.load else None
     if cached is not None:
         inference, true_index = cached
@@ -62,7 +63,8 @@ def detect(params, state_params, test_data, run_path, read_path="",
         if params.signal != "multivariate":
             one_call_scores, inference = sc.detect_scores(
                 state_params, test_data.X, params.hyperbolic,
-                params.combination, rec_error=params.rec_error, mesh=mesh)
+                params.combination, rec_error=params.rec_error, mesh=mesh,
+                fetch_inference=save_artifacts)
         else:
             inference = sc.run_inference(state_params, test_data.X,
                                          params.hyperbolic, mesh=mesh)
@@ -71,7 +73,8 @@ def detect(params, state_params, test_data, run_path, read_path="",
         # second element), length n_buckets = N + W — it must cover all
         # T = N + W - 1 unrolled score positions, not just window starts
         true_index = np.asarray(test_data.index)
-        artifacts.save_inference(run_path, inference, true_index)
+        if save_artifacts:
+            artifacts.save_inference(run_path, inference, true_index)
 
     # ---- scores (cached per combination/rec_error when params.load, the
     # score-pickle equivalent of utils/anomaly_detection_utils.py:229-238)

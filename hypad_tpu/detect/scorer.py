@@ -476,12 +476,8 @@ def _mv_scores_fused(recons, true, critic, combination, hyperbolic, width,
 # one-call detection: model forward + full scoring in a single program
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("hyperbolic", "combination",
-                                             "rec_error", "width",
-                                             "smooth_window", "use_pallas",
-                                             "mesh"))
-def _detect_device(params, X, hyperbolic, combination, rec_error, width,
-                   smooth_window, use_pallas, mesh=None):
+def _detect_core(params, X, hyperbolic, combination, rec_error, width,
+                 smooth_window, use_pallas, mesh=None):
     c = _row_constraint(mesh)
     Xc = c(X)
     z = encoder_apply(params["encoder"], Xc)
@@ -499,19 +495,41 @@ def _detect_device(params, X, hyperbolic, combination, rec_error, width,
     return scores, (recon, critic)
 
 
+_STATIC_DETECT = ("hyperbolic", "combination", "rec_error", "width",
+                  "smooth_window", "use_pallas", "mesh")
+_detect_device = functools.partial(
+    jax.jit, static_argnames=_STATIC_DETECT)(_detect_core)
+# scores-only variant: dropping the inference outputs at trace level lets
+# XLA dead-code-eliminate their device->host transfer (the warm-path cost,
+# see CLAUDE.md); used when artifact persistence is disabled
+def _detect_scores_only_core(params, X, hyperbolic, combination, rec_error,
+                             width, smooth_window, use_pallas, mesh=None):
+    return _detect_core(params, X, hyperbolic, combination, rec_error,
+                        width, smooth_window, use_pallas, mesh=mesh)[0]
+
+
+_detect_device_scores_only = functools.partial(
+    jax.jit, static_argnames=_STATIC_DETECT)(_detect_scores_only_core)
+
+
 # above this many windows the one-call path falls back to chunked inference
 # + fused scoring (full-batch activations would start to matter in HBM)
 ONE_CALL_MAX_WINDOWS = 262144
 
 
 def detect_scores(params, X, hyperbolic, combination, rec_error="point",
-                  mesh=None):
+                  mesh=None, fetch_inference=True):
     """ONE device program for the whole detection compute: encoder, critic,
     decoder, ball embedding and the full scoring pipeline, returning
     (final_scores, InferenceOutput). The staged equivalents (run_inference +
     score_anomalies_*) remain the golden-tested parity surface; equality is
     asserted in tests/test_scoring.py. Falls back to the staged path beyond
-    ONE_CALL_MAX_WINDOWS."""
+    ONE_CALL_MAX_WINDOWS.
+
+    ``fetch_inference=False`` returns (scores, None) and never transfers
+    the inference tensors to host — XLA drops their copies entirely. Warm
+    detection through the tunnel is transfer-bound, so this is ~3x faster;
+    used by the detector when ``save_artifacts: false``."""
     X = np.asarray(X, np.float32)
     if len(X) > ONE_CALL_MAX_WINDOWS:
         inference = run_inference(params, X, hyperbolic, mesh=mesh)
@@ -526,6 +544,11 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
         return scores, inference
     n, w = X.shape
     smooth_window = max(math.trunc(n * 0.01), 1)
+    if not fetch_inference:
+        scores = _detect_device_scores_only(
+            params, jnp.asarray(X), hyperbolic, combination, rec_error, w,
+            smooth_window, _use_pallas_kde(), mesh=mesh)
+        return np.asarray(scores), None
     scores, outs = _detect_device(
         params, jnp.asarray(X), hyperbolic, combination, rec_error, w,
         smooth_window, _use_pallas_kde(), mesh=mesh)

@@ -48,6 +48,11 @@ DEFAULTS = {
     "output_root": ".",
     "seed": 0,
     "devices": "all",
+    # the reference always persists the inference tensors
+    # (anomaly_detection.py:116-131); setting this False skips that (and
+    # their device->host transfer, ~3x faster warm detection) — opt-in
+    # divergence, incompatible with load: True
+    "save_artifacts": True,
 }
 
 VALID_COMBINATIONS = ("sum", "mult", "uncertainty", "critic",

@@ -128,3 +128,47 @@ def test_integer_smoothing_window_not_capped():
     uncapped, _ = sc.reconstruction_errors(y, y_hat, "point",
                                            smoothing_window=300)
     assert not np.allclose(capped, uncapped)
+
+
+def test_save_artifacts_false_skips_persistence_same_result(tmp_path):
+    """save_artifacts: false (opt-in extension) must produce identical
+    scores/intervals while persisting no inference tensors."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from hypad_tpu.data.pipeline import SignalData
+    from hypad_tpu.detect import detector as det
+    from hypad_tpu.models.tadgan import init_tadgan
+
+    rng = np.random.default_rng(5)
+    n, w = 150, 50
+    test_data = SignalData(
+        X=rng.uniform(-1, 1, (n, w)).astype(np.float32),
+        y=np.zeros((n, 1), np.float32),
+        X_index=np.arange(n, dtype=np.float64),
+        y_index=np.arange(n, dtype=np.float64) + w,
+        index=np.arange(n + w, dtype=np.float64),
+    )
+    known = pd.DataFrame({"start": [30.0], "end": [60.0]})
+    model = init_tadgan(jax.random.PRNGKey(1), signal_shape=w,
+                        hyperbolic=True)
+
+    def run(save_artifacts, d):
+        params = SimpleNamespace(signal="s", dataset="NAB", hyperbolic=True,
+                                 combination="uncertainty",
+                                 rec_error="point", load=False,
+                                 save_result=False,
+                                 save_artifacts=save_artifacts)
+        return det.detect(params, model, test_data, str(tmp_path / d),
+                          known_anomalies=known)
+
+    r1 = run(True, "with")
+    r2 = run(False, "without")
+    np.testing.assert_allclose(r1["scores"], r2["scores"], rtol=1e-6)
+    assert [tuple(i) for i in r1["intervals"]] == \
+           [tuple(i) for i in r2["intervals"]]
+    import glob
+    import os
+    assert glob.glob(os.path.join(tmp_path, "with", "inference*"))
+    assert not glob.glob(os.path.join(tmp_path, "without", "inference*"))
