@@ -51,23 +51,20 @@ def detect(params, state_params, test_data, run_path, read_path="",
             known_anomalies = load_anomalies(params.signal, params.data_root)
 
     # ---- inference (cached when params.load; anomaly_detection.py:53-61)
-    # Univariate fresh runs take the ONE-CALL path: forward + full scoring
-    # in a single device program (scorer.detect_scores). Cached re-runs and
-    # multivariate use the staged functions on the stored tensors.
+    # Fresh runs take the ONE-CALL path: forward + full scoring in a single
+    # device program (scorer.detect_scores), univariate and multivariate
+    # alike. Cached re-runs use the staged functions on the stored tensors.
     one_call_scores = None
     save_artifacts = getattr(params, "save_artifacts", True) or params.load
     cached = artifacts.load_inference(run_path) if params.load else None
     if cached is not None:
         inference, true_index = cached
     else:
-        if params.signal != "multivariate":
-            one_call_scores, inference = sc.detect_scores(
-                state_params, test_data.X, params.hyperbolic,
-                params.combination, rec_error=params.rec_error, mesh=mesh,
-                fetch_inference=save_artifacts)
-        else:
-            inference = sc.run_inference(state_params, test_data.X,
-                                         params.hyperbolic, mesh=mesh)
+        one_call_scores, inference = sc.detect_scores(
+            state_params, test_data.X, params.hyperbolic,
+            params.combination, rec_error=params.rec_error, mesh=mesh,
+            fetch_inference=save_artifacts,
+            multivariate=params.signal == "multivariate")
         # the reference's true_index is the FULL aggregated timeline
         # (SignalDataset.index, anomaly_detection.py:133 via __getitem__'s
         # second element), length n_buckets = N + W — it must cover all
@@ -79,10 +76,12 @@ def detect(params, state_params, test_data, run_path, read_path="",
     # ---- scores (cached per combination/rec_error when params.load, the
     # score-pickle equivalent of utils/anomaly_detection_utils.py:229-238)
     if params.signal == "multivariate":
+        compute = lambda: sc.score_anomalies_multivariate(  # noqa: E731
+            inference, params.combination, params.hyperbolic, mesh=mesh)
+        if one_call_scores is not None:
+            compute = lambda: one_call_scores  # noqa: E731
         final_scores = artifacts.cache_scores(
-            run_path, f"scores_mv_{params.combination}",
-            lambda: sc.score_anomalies_multivariate(
-                inference, params.combination, params.hyperbolic, mesh=mesh),
+            run_path, f"scores_mv_{params.combination}", compute,
             enabled=params.load)
         intervals = iv.find_anomalies(
             np.asarray(final_scores).reshape(-1), np.arange(len(final_scores)),

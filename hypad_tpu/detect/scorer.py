@@ -453,11 +453,10 @@ def score_anomalies_hyperbolic(inference: InferenceOutput, combination,
     return np.asarray(out)
 
 
-@functools.partial(jax.jit, static_argnames=("combination", "hyperbolic",
-                                             "width", "smooth_window",
-                                             "use_pallas", "mesh"))
-def _mv_scores_fused(recons, true, critic, combination, hyperbolic, width,
-                     smooth_window, use_pallas, mesh=None):
+def _mv_scores_core(recons, true, critic, combination, hyperbolic, width,
+                    smooth_window, use_pallas, mesh=None):
+    """Traced body of the multivariate scoring pipeline (shared by the
+    standalone fused jit and the one-call detector)."""
     c = _row_constraint(mesh)
     if hyperbolic:
         raw = st.acosh_poincare_distance(c(recons), c(true))
@@ -472,12 +471,18 @@ def _mv_scores_fused(recons, true, critic, combination, hyperbolic, width,
     return _combine_device(combination, critic_scores, rec_scores, recons)
 
 
+_mv_scores_fused = functools.partial(
+    jax.jit, static_argnames=("combination", "hyperbolic", "width",
+                              "smooth_window", "use_pallas", "mesh"))(
+    _mv_scores_core)
+
+
 # ---------------------------------------------------------------------------
 # one-call detection: model forward + full scoring in a single program
 # ---------------------------------------------------------------------------
 
 def _detect_core(params, X, hyperbolic, combination, rec_error, width,
-                 smooth_window, use_pallas, mesh=None):
+                 smooth_window, use_pallas, mesh=None, multivariate=False):
     c = _row_constraint(mesh)
     Xc = c(X)
     z = encoder_apply(params["encoder"], Xc)
@@ -485,27 +490,39 @@ def _detect_core(params, X, hyperbolic, combination, rec_error, width,
     if hyperbolic:
         hyper, eucl = decoder_apply(params["decoder"], z, hyperbolic=True)
         hyper_x = mobius_linear(params["decoder"]["hyperbolic_linear"], Xc)
-        scores = _hyper_scores_core(c(hyper), c(hyper_x), critic,
-                                    combination, width, smooth_window,
-                                    use_pallas, mesh)
+        if multivariate:
+            scores = _mv_scores_core(c(hyper), c(hyper_x), critic,
+                                     combination, True, width, smooth_window,
+                                     use_pallas, mesh)
+        else:
+            scores = _hyper_scores_core(c(hyper), c(hyper_x), critic,
+                                        combination, width, smooth_window,
+                                        use_pallas, mesh)
         return scores, (hyper, hyper_x, critic, eucl)
     recon = decoder_apply(params["decoder"], z)
-    scores = _eucl_scores_core(Xc, c(recon), critic, rec_error, combination,
-                               width, smooth_window, use_pallas, mesh=mesh)
+    if multivariate:
+        scores = _mv_scores_core(c(recon), Xc, critic, combination, False,
+                                 width, smooth_window, use_pallas, mesh)
+    else:
+        scores = _eucl_scores_core(Xc, c(recon), critic, rec_error,
+                                   combination, width, smooth_window,
+                                   use_pallas, mesh=mesh)
     return scores, (recon, critic)
 
 
 _STATIC_DETECT = ("hyperbolic", "combination", "rec_error", "width",
-                  "smooth_window", "use_pallas", "mesh")
+                  "smooth_window", "use_pallas", "mesh", "multivariate")
 _detect_device = functools.partial(
     jax.jit, static_argnames=_STATIC_DETECT)(_detect_core)
 # scores-only variant: dropping the inference outputs at trace level lets
 # XLA dead-code-eliminate their device->host transfer (the warm-path cost,
 # see CLAUDE.md); used when artifact persistence is disabled
 def _detect_scores_only_core(params, X, hyperbolic, combination, rec_error,
-                             width, smooth_window, use_pallas, mesh=None):
+                             width, smooth_window, use_pallas, mesh=None,
+                             multivariate=False):
     return _detect_core(params, X, hyperbolic, combination, rec_error,
-                        width, smooth_window, use_pallas, mesh=mesh)[0]
+                        width, smooth_window, use_pallas, mesh=mesh,
+                        multivariate=multivariate)[0]
 
 
 _detect_device_scores_only = functools.partial(
@@ -518,13 +535,18 @@ ONE_CALL_MAX_WINDOWS = 262144
 
 
 def detect_scores(params, X, hyperbolic, combination, rec_error="point",
-                  mesh=None, fetch_inference=True):
+                  mesh=None, fetch_inference=True, multivariate=False):
     """ONE device program for the whole detection compute: encoder, critic,
     decoder, ball embedding and the full scoring pipeline, returning
     (final_scores, InferenceOutput). The staged equivalents (run_inference +
     score_anomalies_*) remain the golden-tested parity surface; equality is
-    asserted in tests/test_scoring.py. Falls back to the staged path beyond
-    ONE_CALL_MAX_WINDOWS.
+    asserted in tests/test_scoring.py (univariate) and
+    tests/test_multivariate_glue.py (multivariate). Falls back to the staged
+    path beyond ONE_CALL_MAX_WINDOWS.
+
+    ``multivariate=True`` swaps in the per-timestep multivariate scoring
+    tail (reference utils/anomaly_detection_utils.py:153-196) — rows are
+    feature vectors, rec scores are z-scored+clipped norms/distances.
 
     ``fetch_inference=False`` returns (scores, None) and never transfers
     the inference tensors to host — XLA drops their copies entirely. Warm
@@ -533,7 +555,10 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
     X = np.asarray(X, np.float32)
     if len(X) > ONE_CALL_MAX_WINDOWS:
         inference = run_inference(params, X, hyperbolic, mesh=mesh)
-        if hyperbolic:
+        if multivariate:
+            scores = score_anomalies_multivariate(inference, combination,
+                                                  hyperbolic, mesh=mesh)
+        elif hyperbolic:
             scores = score_anomalies_hyperbolic(inference, combination,
                                                 mesh=mesh)
         else:
@@ -547,11 +572,13 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
     if not fetch_inference:
         scores = _detect_device_scores_only(
             params, jnp.asarray(X), hyperbolic, combination, rec_error, w,
-            smooth_window, _use_pallas_kde(), mesh=mesh)
+            smooth_window, _use_pallas_kde(), mesh=mesh,
+            multivariate=multivariate)
         return np.asarray(scores), None
     scores, outs = _detect_device(
         params, jnp.asarray(X), hyperbolic, combination, rec_error, w,
-        smooth_window, _use_pallas_kde(), mesh=mesh)
+        smooth_window, _use_pallas_kde(), mesh=mesh,
+        multivariate=multivariate)
     outs = jax.device_get(outs)
     if hyperbolic:
         hyper, hyper_x, critic, eucl = outs

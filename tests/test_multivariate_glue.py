@@ -101,6 +101,47 @@ def test_multivariate_euclidean_matches_reference(tmp_path, synthetic):
                                                  round(ref_pr[1], 6))
 
 
+@pytest.mark.parametrize("hyperbolic", [False, True])
+def test_multivariate_one_call_matches_staged(synthetic, hyperbolic):
+    """detect_scores(multivariate=True) — forward + mv scoring in ONE
+    program — must equal the staged run_inference +
+    score_anomalies_multivariate path, with and without the dp mesh and in
+    the scores-only (fetch_inference=False) mode."""
+    import jax
+
+    from hypad_tpu.models.tadgan import init_tadgan
+    from hypad_tpu.parallel.mesh import make_mesh
+
+    true, _, _, _ = synthetic
+    F = true.shape[1]
+    params = init_tadgan(jax.random.PRNGKey(3), signal_shape=F,
+                         hyperbolic=hyperbolic)
+    comb = "mult" if hyperbolic else "rec"
+
+    inference = sc.run_inference(params, true, hyperbolic)
+    staged = sc.score_anomalies_multivariate(inference, comb, hyperbolic)
+
+    one_call, inf2 = sc.detect_scores(params, true, hyperbolic, comb,
+                                      multivariate=True)
+    np.testing.assert_allclose(one_call, staged, rtol=0, atol=2e-5)
+    np.testing.assert_allclose(inf2.recons_signal, inference.recons_signal,
+                               rtol=0, atol=1e-6)
+
+    scores_only, none_inf = sc.detect_scores(params, true, hyperbolic, comb,
+                                             multivariate=True,
+                                             fetch_inference=False)
+    assert none_inf is None
+    # dropping the inference outputs changes XLA's fusion choices; the
+    # scores agree to float32 round-off, not bitwise
+    np.testing.assert_allclose(scores_only, one_call, rtol=1e-5, atol=1e-6)
+
+    mesh = make_mesh("all")
+    sharded, _ = sc.detect_scores(params, true, hyperbolic, comb, mesh=mesh,
+                                  multivariate=True)
+    # cross-device reductions (zscore mean/std) reorder float sums
+    np.testing.assert_allclose(sharded, staged, rtol=1e-4, atol=1e-6)
+
+
 def test_multivariate_critic_combination_matches(tmp_path, synthetic):
     adu = load_reference_adu()
     true, recons, critic, y = synthetic
