@@ -287,6 +287,12 @@ def main():
                                              "models", "utils", "assets"):
             shutil.copytree(src, os.path.join(BASE, name))
 
+    # utils/data/ is the reference's S3 download cache (utils/data.py:26);
+    # seed it so load_anomalies() never reaches for the network (no egress)
+    s3_cache = os.path.join(BASE, "utils", "data")
+    os.makedirs(s3_cache, exist_ok=True)
+    shutil.copy2(os.path.join(REF, "data", "anomalies.csv"), s3_cache)
+
     shims = os.path.join(BASE, "shims")
     geoopt = os.path.join(shims, "geoopt")
     stereo = os.path.join(geoopt, "manifolds", "stereographic")
