@@ -21,12 +21,6 @@ import numpy as np
 import pandas as pd
 
 
-def _overlap(expected, observed):
-    first = expected[0] - observed[1]
-    second = expected[1] - observed[0]
-    return first * second < 0
-
-
 def _pad(intervals):
     return [(part[0], part[1] + 1) for part in intervals]
 
@@ -36,17 +30,20 @@ def _overlap_segment(expected, observed):
     any prediction overlaps it (FN otherwise); a prediction is an FP only if
     it overlaps no GT interval. A prediction overlapping several GT intervals
     is consumed once; a GT interval hit by several predictions is still one
-    TP."""
-    hit = np.zeros(len(observed), dtype=bool)
-    tp = fn = 0
-    for exp in expected:
-        matches = [i for i, obs in enumerate(observed) if _overlap(exp, obs)]
-        if matches:
-            tp += 1
-            hit[matches] = True
-        else:
-            fn += 1
-    fp = int(np.sum(~hit))
+    TP.
+
+    One pairwise (n_expected, n_observed) overlap matrix instead of the
+    reference's nested Python loops; the reference's strict overlap test is
+    ``(e_start - o_end) * (e_end - o_start) < 0`` (:301-304)."""
+    if not expected or not observed:
+        return None, len(observed), len(expected), 0
+    exp = np.asarray(expected, dtype=np.float64)
+    obs = np.asarray(observed, dtype=np.float64)
+    ov = ((exp[:, 0, None] - obs[None, :, 1])
+          * (exp[:, 1, None] - obs[None, :, 0]) < 0)
+    tp = int(ov.any(axis=1).sum())
+    fn = len(exp) - tp
+    fp = int((~ov.any(axis=0)).sum())
     return None, fp, fn, tp
 
 
