@@ -16,6 +16,9 @@ extras (all measured in the same run, full-framework coverage):
   hyper_scoring_wps / eucl_dtw_scoring_wps — detection throughput
              (windows/sec) for the hyperbolic and euclidean-DTW scoring
              pipelines (reference: 392.6 / ~193 windows/s)
+  detect_e2e_wps — END-TO-END detection (model forward + full scoring in
+             one device program, scores-only / save_artifacts: false path)
+             vs the same 392.6 w/s reference stage
   pallas_ok / pallas_kde_tie_flips / pallas_mobius_maxdiff — on-chip
              equivalence of the hand-tiled Mosaic kernels vs their jnp
              references, re-proven on every bench run. mobius_linear_fused
@@ -150,6 +153,19 @@ def main():
     sc.score_anomalies_hyperbolic(inf, "uncertainty", mesh=mesh)
     hyper_wps = len(data.X) / (time.time() - t0)
 
+    # ---- end-to-end detection throughput: ONE program (forward + full
+    # scoring), scores-only so the inference-tensor transfer is DCE'd —
+    # the save_artifacts: false fast path (reference: ~392.6 w/s for the
+    # same forward+score stage, anomaly_detection.py:46-113 + host scoring)
+    sc.detect_scores(state.params, data.X, True, "uncertainty",
+                     mesh=mesh, fetch_inference=False)  # warm
+    t0 = time.time()
+    scores_e2e, _ = sc.detect_scores(state.params, data.X, True,
+                                     "uncertainty", mesh=mesh,
+                                     fetch_inference=False)
+    float(scores_e2e[-1])
+    detect_e2e_wps = len(data.X) / (time.time() - t0)
+
     # ---- scoring throughput, euclidean-DTW pipeline
     y = data.X
     y_hat = inf.eucl_recons
@@ -166,6 +182,7 @@ def main():
     print(
         f"[bench] devices={jax.device_count()} epoch={epoch_s:.4f}s "
         f"eucl_epoch={eucl_epoch_s:.4f}s hyper_scoring={hyper_wps:.0f}w/s "
+        f"detect_e2e={detect_e2e_wps:.0f}w/s "
         f"eucl_dtw_scoring={eucl_wps:.0f}w/s pallas_ok={pallas_ok} "
         f"(kde_tie_flips={kde_flips}, mobius_maxdiff={ml_maxdiff})",
         file=sys.stderr,
@@ -180,6 +197,9 @@ def main():
             "eucl_vs_baseline": round(REF_EUCL_EPOCH_SECONDS / eucl_epoch_s,
                                       2),
             "hyper_scoring_wps": round(hyper_wps),
+            "detect_e2e_wps": round(detect_e2e_wps),
+            "detect_e2e_vs_baseline": round(detect_e2e_wps / REF_DETECT_WPS,
+                                            2),
             "eucl_dtw_scoring_wps": round(eucl_wps),
             "ref_scoring_wps": REF_DETECT_WPS,
             "pallas_ok": pallas_ok,

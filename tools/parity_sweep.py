@@ -74,7 +74,12 @@ def run_one(side, args, signal, outdir):
         cfg_path = os.path.join(cwd, "config.yaml")
         with open(cfg_path, "w") as f:
             f.write(cfg)
-        env = dict(os.environ, PYTHONPATH=REPO)
+        # keep the inherited PYTHONPATH (the axon TPU plugin registration
+        # lives there; replacing it with JAX_PLATFORMS=axon still set makes
+        # every jax import fail with "unknown backend")
+        inherited = os.environ.get("PYTHONPATH", "")
+        env = dict(os.environ,
+                   PYTHONPATH=f"{REPO}:{inherited}" if inherited else REPO)
         cmd = [sys.executable, "-m", "hypad_tpu.cli", "train", "--config",
                cfg_path]
     t0 = time.time()
