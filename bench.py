@@ -19,6 +19,9 @@ extras (all measured in the same run, full-framework coverage):
   detect_e2e_wps — END-TO-END detection (model forward + full scoring in
              one device program, scores-only / save_artifacts: false path)
              vs the same 392.6 w/s reference stage
+  detect_e2e_resident_wps — same program with device-resident windows
+             (no host->device upload; the upload dominates the warm path
+             through the tunneled backend)
   pallas_ok / pallas_kde_tie_flips / pallas_mobius_maxdiff — on-chip
              equivalence of the hand-tiled Mosaic kernels vs their jnp
              references, re-proven on every bench run. mobius_linear_fused
@@ -166,6 +169,23 @@ def main():
     float(scores_e2e[-1])
     detect_e2e_wps = len(data.X) / (time.time() - t0)
 
+    # same program with the windows already device-resident (the pipeline
+    # can stage them once); isolates compute from the host->device upload
+    import jax.numpy as jnp
+
+    X_dev = jax.device_put(jnp.asarray(data.X, jnp.float32),
+                           jax.devices()[0])
+    # a committed-device input is a different sharding than the uncommitted
+    # numpy upload -> separate executable; warm it before timing
+    sc.detect_scores(state.params, X_dev, True, "uncertainty", mesh=mesh,
+                     fetch_inference=False)
+    t0 = time.time()
+    scores_e2e, _ = sc.detect_scores(state.params, X_dev, True,
+                                     "uncertainty", mesh=mesh,
+                                     fetch_inference=False)
+    float(scores_e2e[-1])
+    detect_resident_wps = len(data.X) / (time.time() - t0)
+
     # ---- scoring throughput, euclidean-DTW pipeline
     y = data.X
     y_hat = inf.eucl_recons
@@ -183,6 +203,7 @@ def main():
         f"[bench] devices={jax.device_count()} epoch={epoch_s:.4f}s "
         f"eucl_epoch={eucl_epoch_s:.4f}s hyper_scoring={hyper_wps:.0f}w/s "
         f"detect_e2e={detect_e2e_wps:.0f}w/s "
+        f"detect_resident={detect_resident_wps:.0f}w/s "
         f"eucl_dtw_scoring={eucl_wps:.0f}w/s pallas_ok={pallas_ok} "
         f"(kde_tie_flips={kde_flips}, mobius_maxdiff={ml_maxdiff})",
         file=sys.stderr,
@@ -200,6 +221,7 @@ def main():
             "detect_e2e_wps": round(detect_e2e_wps),
             "detect_e2e_vs_baseline": round(detect_e2e_wps / REF_DETECT_WPS,
                                             2),
+            "detect_e2e_resident_wps": round(detect_resident_wps),
             "eucl_dtw_scoring_wps": round(eucl_wps),
             "ref_scoring_wps": REF_DETECT_WPS,
             "pallas_ok": pallas_ok,

@@ -551,8 +551,13 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
     ``fetch_inference=False`` returns (scores, None) and never transfers
     the inference tensors to host — XLA drops their copies entirely. Warm
     detection through the tunnel is transfer-bound, so this is ~3x faster;
-    used by the detector when ``save_artifacts: false``."""
-    X = np.asarray(X, np.float32)
+    used by the detector when ``save_artifacts: false``.
+
+    ``X`` may be a device-resident jax.Array — it is then fed to the
+    program as-is, skipping the host->device upload (the dominant warm-path
+    cost when data is staged on device by the pipeline)."""
+    if not isinstance(X, jax.Array):
+        X = np.asarray(X, np.float32)
     if len(X) > ONE_CALL_MAX_WINDOWS:
         inference = run_inference(params, X, hyperbolic, mesh=mesh)
         if multivariate:
@@ -580,14 +585,15 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
         smooth_window, _use_pallas_kde(), mesh=mesh,
         multivariate=multivariate)
     outs = jax.device_get(outs)
+    X_host = np.asarray(X, np.float32)
     if hyperbolic:
         hyper, hyper_x, critic, eucl = outs
         inference = InferenceOutput(recons_signal=hyper, true_signal=hyper_x,
                                     critic_score=critic, eucl_recons=eucl,
-                                    gt_signal=X)
+                                    gt_signal=X_host)
     else:
         recon, critic = outs
-        inference = InferenceOutput(recons_signal=recon, true_signal=X,
+        inference = InferenceOutput(recons_signal=recon, true_signal=X_host,
                                     critic_score=critic)
     return np.asarray(scores), inference
 

@@ -214,3 +214,29 @@ def test_one_call_detection_equals_staged():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(got_inf.recons_signal, inf.recons_signal,
                                rtol=1e-6, atol=1e-7)
+
+
+def test_one_call_detection_accepts_device_resident_windows():
+    """detect_scores with a device-resident jax.Array X (no host upload)
+    must produce the same scores and host-numpy inference artifacts as the
+    numpy-X call."""
+    import jax
+    import jax.numpy as jnp
+
+    from hypad_tpu.models.tadgan import init_tadgan
+
+    rng = np.random.default_rng(21)
+    X = rng.uniform(-1, 1, (300, 100)).astype(np.float32)
+    params = init_tadgan(jax.random.PRNGKey(5), signal_shape=100,
+                         hyperbolic=True)
+    want, want_inf = sc.detect_scores(params, X, True, "uncertainty")
+    X_dev = jax.device_put(jnp.asarray(X))
+    got, got_inf = sc.detect_scores(params, X_dev, True, "uncertainty")
+    np.testing.assert_array_equal(got, want)
+    assert isinstance(got_inf.gt_signal, np.ndarray)
+    np.testing.assert_array_equal(got_inf.gt_signal, want_inf.gt_signal)
+
+    got_so, none_inf = sc.detect_scores(params, X_dev, True, "uncertainty",
+                                        fetch_inference=False)
+    assert none_inf is None
+    np.testing.assert_allclose(got_so, want, rtol=1e-5, atol=1e-6)
