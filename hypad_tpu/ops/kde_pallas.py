@@ -46,11 +46,15 @@ def _kernel(vals_ref, mask_ref, kde_ref, use_ref):
     h2 = var * cnt_f ** (-0.4)            # Scott: var * n^(-2/5)
     h2_safe = jnp.where(h2 > 0, h2, 1.0)
 
-    diff = v[:, :, None] - v[:, None, :]  # (TILE_T, Wp, Wp)
-    # pair mask as f32 products — Mosaic cannot broadcast i1 into a new
-    # minor dim, so keep all 3-D tensors 32-bit
-    kern = (jnp.exp(-(diff * diff) / (2.0 * h2_safe[:, None, None]))
-            * mf[:, :, None] * mf[:, None, :])
+    # masked entries become a huge sentinel: any pair touching one has
+    # diff^2 ~ 1e36 and exp(-...) == exactly 0 — the same contribution the
+    # old explicit mf[:, :, None] * mf[:, None, :] pair-mask multiplies
+    # produced (bitwise-identical outputs, verified on-chip at 20k rows),
+    # two fewer (TILE_T, Wp, Wp) ops per tile (~12% kernel time).
+    # Sentinel-sentinel pairs land only on masked rows, discarded below.
+    vs = jnp.where(m, v, 1e18)
+    diff = vs[:, :, None] - vs[:, None, :]  # (TILE_T, Wp, Wp)
+    kern = jnp.exp(-(diff * diff) / (2.0 * h2_safe[:, None, None]))
     dens = jnp.sum(kern, axis=-1)
     dens = jnp.where(m, dens, -jnp.inf)
     # first-max select (Mosaic has neither row gather nor cumsum): find the
