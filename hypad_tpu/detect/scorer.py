@@ -535,7 +535,8 @@ ONE_CALL_MAX_WINDOWS = 262144
 
 
 def detect_scores(params, X, hyperbolic, combination, rec_error="point",
-                  mesh=None, fetch_inference=True, multivariate=False):
+                  mesh=None, fetch_inference=True, multivariate=False,
+                  X_host=None):
     """ONE device program for the whole detection compute: encoder, critic,
     decoder, ball embedding and the full scoring pipeline, returning
     (final_scores, InferenceOutput). The staged equivalents (run_inference +
@@ -555,8 +556,15 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
 
     ``X`` may be a device-resident jax.Array — it is then fed to the
     program as-is, skipping the host->device upload (the dominant warm-path
-    cost when data is staged on device by the pipeline)."""
-    if not isinstance(X, jax.Array):
+    cost when data is staged on device by the pipeline). Non-f32 device
+    arrays are cast to float32 so the traced program and the persisted
+    artifacts agree. ``X_host``: optional host copy of X used for the
+    inference artifacts — pass it when X is device-resident to avoid a
+    device->host readback of the windows."""
+    if isinstance(X, jax.Array):
+        if X.dtype != jnp.float32:
+            X = X.astype(jnp.float32)
+    else:
         X = np.asarray(X, np.float32)
     if len(X) > ONE_CALL_MAX_WINDOWS:
         inference = run_inference(params, X, hyperbolic, mesh=mesh)
@@ -571,7 +579,7 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
                 inference.true_signal, inference.recons_signal,
                 inference.critic_score, rec_error_type=rec_error,
                 comb=combination, mesh=mesh)
-        return scores, inference
+        return scores, (inference if fetch_inference else None)
     n, w = X.shape
     smooth_window = max(math.trunc(n * 0.01), 1)
     if not fetch_inference:
@@ -585,7 +593,10 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
         smooth_window, _use_pallas_kde(), mesh=mesh,
         multivariate=multivariate)
     outs = jax.device_get(outs)
-    X_host = np.asarray(X, np.float32)
+    if X_host is None:
+        X_host = np.asarray(X, np.float32)
+    else:
+        X_host = np.asarray(X_host, np.float32)
     if hyperbolic:
         hyper, hyper_x, critic, eucl = outs
         inference = InferenceOutput(recons_signal=hyper, true_signal=hyper_x,

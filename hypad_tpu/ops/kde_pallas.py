@@ -16,6 +16,14 @@ and a use-kde flag per row.
 
 Use ``kde_argmax_rows_pallas(vals, mask)`` as a drop-in replacement; it
 falls back to the jnp path on non-TPU backends.
+
+Value-range contract: masked entries are encoded as a 1e18 sentinel so that
+any pair touching one has diff^2 ~ 1e36 and exp(-...) == 0. This assumes
+|vals| stays far below 1e18 — a real value near the sentinel would make
+masked-pair diffs small and silently reintroduce their kernel contribution.
+Critic scores (the only production input) are O(1); if the kernel is ever
+reused on another signal, keep |vals| < 1e12 or restore an explicit pair
+mask.
 """
 
 from __future__ import annotations

@@ -172,3 +172,109 @@ def test_save_artifacts_false_skips_persistence_same_result(tmp_path):
     import os
     assert glob.glob(os.path.join(tmp_path, "with", "inference*"))
     assert not glob.glob(os.path.join(tmp_path, "without", "inference*"))
+
+
+# ---------------------------------------------------------------------------
+# round-3 review fixes (VERDICT.md item 1 + ADVICE.md rounds 2)
+# ---------------------------------------------------------------------------
+
+def _tiny_model(w=50, hyperbolic=True, seed=7):
+    import jax
+
+    from hypad_tpu.models.tadgan import init_tadgan
+
+    return init_tadgan(jax.random.PRNGKey(seed), signal_shape=w,
+                       hyperbolic=hyperbolic)
+
+
+def test_detect_scores_x_host_matches_device_readback():
+    """Passing X_host alongside a device-resident X must yield artifacts
+    identical to letting the scorer read X back from device."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    X = rng.uniform(-1, 1, (120, 50)).astype(np.float32)
+    params = _tiny_model()
+    X_dev = jnp.asarray(X)
+    want, want_inf = sc.detect_scores(params, X_dev, True, "uncertainty")
+    got, got_inf = sc.detect_scores(params, X_dev, True, "uncertainty",
+                                    X_host=X)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got_inf.gt_signal, want_inf.gt_signal)
+    assert isinstance(got_inf.gt_signal, np.ndarray)
+
+
+def test_detect_scores_casts_non_f32_device_arrays():
+    """ADVICE r2: a bfloat16 device array must be cast to float32 before
+    tracing so device scores and persisted artifacts agree."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(32)
+    X = rng.uniform(-1, 1, (120, 50)).astype(np.float32)
+    params = _tiny_model()
+    want, _ = sc.detect_scores(params, X, True, "uncertainty")
+    X_bf16 = jnp.asarray(X).astype(jnp.bfloat16)
+    got, got_inf = sc.detect_scores(params, X_bf16, True, "uncertainty")
+    # the cast costs precision once (bf16 storage) but the program must run
+    # in f32 and the artifacts must be f32
+    assert got_inf.gt_signal.dtype == np.float32
+    np.testing.assert_allclose(got, want, rtol=0.2, atol=0.2)
+
+
+def test_detect_scores_fallback_honors_fetch_inference(monkeypatch):
+    """ADVICE r2: above ONE_CALL_MAX_WINDOWS the staged fallback must still
+    return (scores, None) when fetch_inference=False."""
+    monkeypatch.setattr(sc, "ONE_CALL_MAX_WINDOWS", 64)
+    rng = np.random.default_rng(33)
+    X = rng.uniform(-1, 1, (120, 50)).astype(np.float32)
+    params = _tiny_model()
+    scores, inference = sc.detect_scores(params, X, True, "uncertainty",
+                                         fetch_inference=False)
+    assert inference is None
+    want, want_inf = sc.detect_scores(params, X, True, "uncertainty")
+    assert want_inf is not None
+    np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-6)
+
+
+def test_detector_stages_windows_on_device_and_reuses(tmp_path):
+    """VERDICT r2 item 1: the CLI detection path stages test windows on
+    device once (test_data.X_device) and a pre-staged array is reused —
+    scores identical either way."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from hypad_tpu.data.pipeline import SignalData
+    from hypad_tpu.detect import detector as det
+
+    rng = np.random.default_rng(34)
+    n, w = 150, 50
+    mk = lambda: SignalData(  # noqa: E731
+        X=rng2.uniform(-1, 1, (n, w)).astype(np.float32),
+        y=np.zeros((n, 1), np.float32),
+        X_index=np.arange(n, dtype=np.float64),
+        y_index=np.arange(n, dtype=np.float64) + w,
+        index=np.arange(n + w, dtype=np.float64),
+    )
+    rng2 = np.random.default_rng(34)
+    d1 = mk()
+    rng2 = np.random.default_rng(34)
+    d2 = mk()
+    known = pd.DataFrame({"start": [30.0], "end": [60.0]})
+    model = _tiny_model(w=w)
+    params = SimpleNamespace(signal="s", dataset="NAB", hyperbolic=True,
+                             combination="uncertainty", rec_error="point",
+                             load=False, save_result=False,
+                             save_artifacts=False)
+
+    # fresh dataset: detector stages and pins the device copy
+    r1 = det.detect(params, model, d1, str(tmp_path / "a"),
+                    known_anomalies=known)
+    assert getattr(d1, "X_device", None) is not None
+
+    # pre-staged dataset (the cmd_train reuse path): same result
+    d2.X_device = jnp.asarray(d2.X)
+    r2 = det.detect(params, model, d2, str(tmp_path / "b"),
+                    known_anomalies=known)
+    np.testing.assert_allclose(r1["scores"], r2["scores"], rtol=1e-6,
+                               atol=1e-7)
