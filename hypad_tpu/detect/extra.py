@@ -17,21 +17,20 @@ import numpy as np
 
 
 def ewma(x, span):
-    """pandas Series.ewm(span=span, adjust=True).mean() — vectorized closed
-    form: y_t = sum_i (1-a)^i x_{t-i} / sum_i (1-a)^i with a = 2/(span+1)."""
+    """pandas Series.ewm(span=span, adjust=True).mean():
+    y_t = sum_i (1-a)^i x_{t-i} / sum_i (1-a)^i with a = 2/(span+1).
+
+    Computed as two single-pole IIR filters (scipy.signal.lfilter runs the
+    recurrence acc <- acc*decay + x in C): numerically stable like the scan
+    form (no 0^n underflow of the closed form) but O(n) vectorized — the
+    50k-row multivariate aux path stays in the milliseconds."""
+    from scipy.signal import lfilter
+
     x = np.asarray(x, dtype=np.float64)
-    n = len(x)
     alpha = 2.0 / (span + 1.0)
     decay = 1.0 - alpha
-    # numerically stable scan (avoids 0^n underflow of the closed form)
-    num = np.empty(n)
-    den = np.empty(n)
-    acc_num, acc_den = 0.0, 0.0
-    for i in range(n):
-        acc_num = acc_num * decay + x[i]
-        acc_den = acc_den * decay + 1.0
-        num[i] = acc_num
-        den[i] = acc_den
+    num = lfilter([1.0], [1.0, -decay], x)
+    den = lfilter([1.0], [1.0, -decay], np.ones(len(x)))
     return num / den
 
 

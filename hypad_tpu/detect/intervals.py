@@ -79,9 +79,14 @@ def find_threshold(errors, z_range=(0, 10)):
 def find_sequences(errors, epsilon, anomaly_padding):
     above = errors > epsilon
     idx = np.flatnonzero(above)
-    padded = above.copy()
-    for i in idx:
-        padded[max(0, i - anomaly_padding): i + anomaly_padding + 1] = True
+    # pad each above-threshold point by +-anomaly_padding: union of ranges
+    # via a difference array + running sum — O(n + k) instead of the
+    # reference's O(k * padding) per-point slice assigns (:1117-1166)
+    n = len(above)
+    delta = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(delta, np.maximum(idx - anomaly_padding, 0), 1)
+    np.add.at(delta, np.minimum(idx + anomaly_padding + 1, n), -1)
+    padded = np.cumsum(delta[:-1]) > 0
     if padded.all():
         max_below = 0.0
     else:
