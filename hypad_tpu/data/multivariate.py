@@ -47,7 +47,16 @@ def _load_pt(path):
 
 
 def _scale(X):
+    """SimpleImputer + MinMaxScaler(-1,1) — the SWAT/WADI preprocessing
+    (reference utils/dataloader_multivariate.py:78-89)."""
     return minmax_scale(impute_mean(np.asarray(X, dtype=np.float64)))
+
+
+def _scale_only(X):
+    """MinMaxScaler(-1,1) WITHOUT imputation — the CASAS-family .pt branches
+    apply only the scaler (reference utils/dataloader_multivariate.py:55-69);
+    NaNs, if any, propagate exactly as sklearn's would."""
+    return minmax_scale(np.asarray(X, dtype=np.float64))
 
 
 def load_swat(data_root, test):
@@ -98,8 +107,11 @@ def load_casas_family(params, data_root, test):
 
     path = seq_test if test else seq
     X = _load_pt(path).reshape(-1, 150)
-    y = _load_pt(gt) if test else None
-    return MultivariateData(_scale(X), y=y)
+    # the reference loads the POINTS ground truth for BOTH train and test
+    # (dataset_selection passes gt_path to both, utils/data.py:320-326;
+    # the CASAS branch always loads y) — only the test copy is consumed
+    y = _load_pt(gt)
+    return MultivariateData(_scale_only(X), y=y)
 
 
 def load_multivariate(params, data_root):
@@ -116,11 +128,20 @@ def load_multivariate(params, data_root):
     if ds == "CASAS_":
         # Reference utils/dataloader_multivariate.py:27-50: drop the first
         # 4500 timesteps, then carve the test span as [first_anomaly-1000,
-        # last_anomaly+1000) and train as everything before it. (The
-        # StratifiedShuffleSplit computed there is dead code — its indices
-        # are never used.)
-        seq = _load_pt(params.seq_path)
-        gt = _load_pt(params.gt_path)
+        # last_anomaly+1000) and train as everything before it; NO scaler on
+        # this branch. (The StratifiedShuffleSplit computed there is dead
+        # code — its indices are never used. Note the reference's
+        # dataset_selection quirk: it forgets dataset=params.dataset for
+        # CASAS_ (utils/data.py:259-270), so through ITS CLI the carve-out
+        # branch is unreachable — the default dataset="CASAS" branch runs
+        # on the 2week tensors instead. We dispatch to the loader's
+        # documented CASAS_ branch, making the carve-out actually usable;
+        # path default mirrors the reference's sequences_2week naming.)
+        base = os.path.join(data_root, "CASAS_")
+        seq = _load_pt(getattr(params, "seq_path", None) or os.path.join(
+            base, f"sequences_2week_{params.signal}.pt"))
+        gt = _load_pt(getattr(params, "gt_path", None) or os.path.join(
+            base, f"ground_truth_2week_{params.signal}.pt"))
         X = seq.reshape(seq.shape[0] * seq.shape[1], -1)[4500:]
         y = gt.reshape(gt.shape[0] * gt.shape[1], -1)[4500:]
         anom = np.where(y == 1)[0]
@@ -129,12 +150,17 @@ def load_multivariate(params, data_root):
         test = MultivariateData(X[init:end].reshape(-1, 150), y=y[init:end])
         return train, test, ""
     if ds == "new_CASAS":
+        # reference: seq_path = "path_to_new_CASAS" + signal (a placeholder
+        # root, utils/data.py:274-286); scaler only, fit per split
+        # (utils/dataloader_multivariate.py:52-63)
         base = os.path.join(data_root, "CASAS", "new_dataset", params.signal)
         train = MultivariateData(
-            _scale(_load_pt(os.path.join(base, "x_train")).reshape(-1, 150)),
+            _scale_only(_load_pt(os.path.join(base, "x_train"))
+                        .reshape(-1, 150)),
             y=_load_pt(os.path.join(base, "y_train")))
         test = MultivariateData(
-            _scale(_load_pt(os.path.join(base, "x_test")).reshape(-1, 150)),
+            _scale_only(_load_pt(os.path.join(base, "x_test"))
+                        .reshape(-1, 150)),
             y=_load_pt(os.path.join(base, "y_test")))
         return train, test, ""
     raise ValueError(f"unsupported multivariate dataset {ds!r}")

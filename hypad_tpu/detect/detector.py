@@ -41,9 +41,20 @@ def detect(params, state_params, test_data, run_path, read_path="",
     (tests/test_sharded_scoring.py)."""
     os.makedirs(run_path, exist_ok=True)
 
+    # multivariate dispatch: the reference keys on signal == 'multivariate'
+    # (anomaly_detection.py:32,:137) — which its SWAT/WADI configs set, but
+    # CASAS-family runs need ``signal`` as the point/resident name for data
+    # paths (utils/data.py:302-317), leaving their detection dispatch broken
+    # in the reference. We additionally key on the dataset family so CASAS/
+    # ELINUS/eHealth runs take the multivariate path (documented extension).
+    from hypad_tpu.data.registry import MULTIVARIATE_DATASETS
+
+    is_mv = (params.signal == "multivariate"
+             or params.dataset in MULTIVARIATE_DATASETS)
+
     # ---- ground truth (anomaly_detection.py:31-37)
     if known_anomalies is None:
-        if params.signal == "multivariate":
+        if is_mv:
             known_anomalies = _multivariate_ground_truth(test_data)
         elif params.dataset in ("A1", "A2", "A3", "A4"):
             known_anomalies = test_data.known_anomalies
@@ -78,7 +89,7 @@ def detect(params, state_params, test_data, run_path, read_path="",
             state_params, X_dev, params.hyperbolic,
             params.combination, rec_error=params.rec_error, mesh=mesh,
             fetch_inference=save_artifacts,
-            multivariate=params.signal == "multivariate",
+            multivariate=is_mv,
             X_host=test_data.X)
         # the reference's true_index is the FULL aggregated timeline
         # (SignalDataset.index, anomaly_detection.py:133 via __getitem__'s
@@ -90,7 +101,7 @@ def detect(params, state_params, test_data, run_path, read_path="",
 
     # ---- scores (cached per combination/rec_error when params.load, the
     # score-pickle equivalent of utils/anomaly_detection_utils.py:229-238)
-    if params.signal == "multivariate":
+    if is_mv:
         compute = lambda: sc.score_anomalies_multivariate(  # noqa: E731
             inference, params.combination, params.hyperbolic, mesh=mesh)
         if one_call_scores is not None:
@@ -163,8 +174,7 @@ def detect(params, state_params, test_data, run_path, read_path="",
             [pred_anomalies] + ([known_anomalies]
                                 if known_anomalies is not None and
                                 len(known_anomalies) else []),
-            true_index if params.signal != "multivariate"
-            else np.arange(len(final_scores)),
+            np.arange(len(final_scores)) if is_mv else true_index,
             np.asarray(final_scores), run_path)
 
     return result
