@@ -13,6 +13,10 @@ vs_baseline= speedup vs the PyTorch-CPU reference measured on this machine
 extras (all measured in the same run, full-framework coverage):
   eucl_epoch_s / eucl_vs_baseline — TadGAN euclidean epoch on NAB
              Twitter_volume_AAPL vs the 0.542 s reference baseline
+  smap_epoch_s / smap_vs_baseline — HypAD epoch on the SMAP A-1 train split
+             (2780 windows) vs the 11.4 s reference baseline
+  mv_one_call_rows_per_s — multivariate one-call detection throughput
+             (50k x 51 SWAT-shaped rows, hyperbolic mult, scores-only)
   hyper_scoring_wps / eucl_dtw_scoring_wps — detection throughput
              (windows/sec) for the hyperbolic and euclidean-DTW scoring
              pipelines (reference: 392.6 / ~193 windows/s)
@@ -43,6 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_EPOCH_SECONDS = 2.247       # PyTorch-CPU reference, Yahoo A1 hyperbolic
 REF_EUCL_EPOCH_SECONDS = 0.542  # PyTorch-CPU reference, NAB euclidean
 REF_DETECT_WPS = 392.6          # PyTorch-CPU reference detection throughput
+REF_SMAP_EPOCH_SECONDS = 11.4   # PyTorch-CPU reference, SMAP A-1 (2780 win)
 
 N_TIMED_EPOCHS = 20
 
@@ -105,14 +110,24 @@ def _pallas_onchip_check(data, state):
     vals, mask = jax.jit(_critic_antidiag, static_argnums=(1, 2))(
         critic, len(critic), data.X.shape[1])
     kde_jnp = np.asarray(jax.jit(kde_argmax_rows)(vals, mask))
-    kde_pl = np.asarray(jax.jit(kde_argmax_rows_pallas)(vals, mask))
-    diff_rows = np.nonzero(kde_jnp != kde_pl)[0]
     v = np.asarray(vals)
     m = np.asarray(mask)
-    # a differing value is only acceptable if it is a true sample point of
-    # its row (a density-tie flipped by reduction order)
-    legit = all(kde_pl[i] in v[i][m[i]] for i in diff_rows)
-    kde_ok = legit and len(diff_rows) <= max(1, int(0.005 * len(kde_jnp)))
+
+    def check_version(ver):
+        kde_pl = np.asarray(jax.jit(
+            lambda a, b: kde_argmax_rows_pallas(a, b, version=ver))(
+                vals, mask))
+        diff_rows = np.nonzero(kde_jnp != kde_pl)[0]
+        # a differing value is only acceptable if it is a true sample point
+        # of its row (a density-tie flipped by reduction order)
+        legit = all(kde_pl[i] in v[i][m[i]] for i in diff_rows)
+        ok = legit and len(diff_rows) <= max(1, int(0.005 * len(kde_jnp)))
+        return ok, len(diff_rows), legit
+
+    v1_ok, v1_flips, v1_legit = check_version("v1")
+    v2_ok, v2_flips, v2_legit = check_version("v2")
+    kde_ok = v1_ok and v2_ok
+    legit = v1_legit and v2_legit
 
     # MobiusLinear: ball embedding of the real test windows
     p = state.params["decoder"]["hyperbolic_linear"]
@@ -124,10 +139,10 @@ def _pallas_onchip_check(data, state):
 
     if not (kde_ok and ml_ok):
         print(f"[bench] PALLAS MISMATCH kde_ok={kde_ok} "
-              f"({len(diff_rows)} rows, legit_ties={legit}) "
+              f"(v1 {v1_flips} / v2 {v2_flips} rows, legit_ties={legit}) "
               f"mobius_ok={ml_ok} (maxdiff {ml_maxdiff})",
               file=sys.stderr)
-    return bool(kde_ok and ml_ok), int(len(diff_rows)), ml_maxdiff
+    return bool(kde_ok and ml_ok), int(max(v1_flips, v2_flips)), ml_maxdiff
 
 
 def main():
@@ -186,6 +201,32 @@ def main():
     float(scores_e2e[-1])
     detect_resident_wps = len(data.X) / (time.time() - t0)
 
+    # ---- SMAP A-1 hyperbolic epoch (separate train split, 2780 windows —
+    # the second PARITY headline; driver-reproducible per VERDICT r2 item 4)
+    smap_csv = os.path.join(data_root, "A-1-train.csv")
+    _, _, smap_epoch_s = _train_bench(True, smap_csv, False, 21600, mesh,
+                                      batch)
+
+    # ---- multivariate one-call detection throughput (SWAT-shaped 50k x 51,
+    # hyperbolic mult, scores-only): the PARITY.md 150.5k rows/s row
+    import numpy as np
+
+    from hypad_tpu.models.tadgan import init_tadgan
+
+    rng = np.random.default_rng(0)
+    mv_X = rng.uniform(-1, 1, (50_000, 51)).astype(np.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        mv_params = init_tadgan(jax.random.PRNGKey(2), signal_shape=51,
+                                hyperbolic=True)
+    mv_params = jax.device_put(mv_params, jax.devices()[0])
+    sc.detect_scores(mv_params, mv_X, True, "mult", mesh=mesh,
+                     fetch_inference=False, multivariate=True)  # warm
+    t0 = time.time()
+    mv_scores, _ = sc.detect_scores(mv_params, mv_X, True, "mult", mesh=mesh,
+                                    fetch_inference=False, multivariate=True)
+    float(mv_scores[-1])
+    mv_rows_per_s = len(mv_X) / (time.time() - t0)
+
     # ---- scoring throughput, euclidean-DTW pipeline
     y = data.X
     y_hat = inf.eucl_recons
@@ -201,7 +242,9 @@ def main():
 
     print(
         f"[bench] devices={jax.device_count()} epoch={epoch_s:.4f}s "
-        f"eucl_epoch={eucl_epoch_s:.4f}s hyper_scoring={hyper_wps:.0f}w/s "
+        f"eucl_epoch={eucl_epoch_s:.4f}s smap_epoch={smap_epoch_s:.4f}s "
+        f"mv_one_call={mv_rows_per_s:.0f}rows/s "
+        f"hyper_scoring={hyper_wps:.0f}w/s "
         f"detect_e2e={detect_e2e_wps:.0f}w/s "
         f"detect_resident={detect_resident_wps:.0f}w/s "
         f"eucl_dtw_scoring={eucl_wps:.0f}w/s pallas_ok={pallas_ok} "
@@ -217,6 +260,10 @@ def main():
             "eucl_epoch_s": round(eucl_epoch_s, 4),
             "eucl_vs_baseline": round(REF_EUCL_EPOCH_SECONDS / eucl_epoch_s,
                                       2),
+            "smap_epoch_s": round(smap_epoch_s, 4),
+            "smap_vs_baseline": round(REF_SMAP_EPOCH_SECONDS / smap_epoch_s,
+                                      2),
+            "mv_one_call_rows_per_s": round(mv_rows_per_s),
             "hyper_scoring_wps": round(hyper_wps),
             "detect_e2e_wps": round(detect_e2e_wps),
             "detect_e2e_vs_baseline": round(detect_e2e_wps / REF_DETECT_WPS,

@@ -155,16 +155,16 @@ def _critic_antidiag(critic, n_windows, width):
 
 
 def _use_pallas_kde():
-    """KDE backend selection: the hand-tiled Mosaic kernel by default on TPU
-    (0.05s warm at 20k rows, on-chip-validated bit-exact), the jnp path
-    elsewhere (compiled Pallas is TPU-only; interpreter would be slow).
-    Override with HYPAD_KDE_PALLAS=1/0."""
+    """KDE backend selection. Default: the jnp/XLA path everywhere — the
+    round-3 on-chip chained-timing study (PARITY.md "KDE kernel floor")
+    measured the XLA fusion at 3.6 ms/20k rows on the v5e vs 4.2 ms for the
+    best Mosaic kernel (the quoted 30 ms was ~24 ms of tunnel round-trip),
+    and the jnp path is bitwise-reference by construction. The hand-tiled
+    Mosaic kernels remain available (HYPAD_KDE_PALLAS=1) and are
+    re-validated on-chip by every bench run."""
     import os
 
-    flag = os.environ.get("HYPAD_KDE_PALLAS")
-    if flag is not None:
-        return flag == "1"
-    return "TPU" in jax.devices()[0].device_kind.upper()
+    return os.environ.get("HYPAD_KDE_PALLAS") == "1"
 
 
 def _critic_scores_core(critic, width, smooth_window, use_pallas, mesh):

@@ -23,13 +23,30 @@ def _antidiag_inputs(N, W, seed=0, constant_runs=False):
     return jnp.array(vals), jnp.array(mask)
 
 
+def assert_tie_level_equal(got, want, vals, mask, max_frac=0.01):
+    """v2 accumulates pair contributions in a different order than the jnp
+    axis reduction, so density TIES can resolve to a different sample point
+    of the same row: any differing value must be a true sample of its row
+    and differing rows must be rare."""
+    diff = np.nonzero(got != want)[0]
+    v, m = np.asarray(vals), np.asarray(mask)
+    assert all(got[i] in v[i][m[i]] for i in diff), diff
+    assert len(diff) <= max(1, int(max_frac * len(want)))
+
+
+@pytest.mark.parametrize("version", ["v1", "v2"])
 @pytest.mark.parametrize("N,W,const", [(300, 100, False), (50, 100, False),
                                        (300, 100, True), (700, 64, False)])
-def test_pallas_kde_matches_jnp(N, W, const):
+def test_pallas_kde_matches_jnp(N, W, const, version):
     vals, mask = _antidiag_inputs(N, W, constant_runs=const)
     want = np.asarray(kde_argmax_rows(vals, mask))
-    got = np.asarray(kde_argmax_rows_pallas(vals, mask, interpret=True))
-    np.testing.assert_array_equal(got, want)
+    got = np.asarray(kde_argmax_rows_pallas(vals, mask, interpret=True,
+                                            version=version))
+    if version == "v1":
+        # rank-3 kernel: same reduction structure -> bitwise
+        np.testing.assert_array_equal(got, want)
+    else:
+        assert_tie_level_equal(got, want, vals, mask)
 
 
 def test_pallas_kde_through_critic_pipeline(monkeypatch):

@@ -135,5 +135,14 @@ def test_sharded_pallas_kde_matches_jnp(mesh):
     mask = (j <= (i % W)) | (j < 3)  # ragged but nonempty rows
     want = np.asarray(kde_argmax_rows(vals, mask))
     got = np.asarray(kde_argmax_rows_pallas_sharded(vals, mask, mesh,
-                                                    interpret=True))
+                                                    interpret=True,
+                                                    version="v1"))
     np.testing.assert_array_equal(got, want)
+
+    # the v2 offset-rotation kernel is tie-level equal (accumulation order)
+    from tests.test_pallas import assert_tie_level_equal
+
+    got2 = np.asarray(kde_argmax_rows_pallas_sharded(vals, mask, mesh,
+                                                     interpret=True,
+                                                     version="v2"))
+    assert_tie_level_equal(got2, want, vals, mask)
