@@ -54,10 +54,14 @@ def _linear(p, x):
     return x @ p["w"].T + p["b"]
 
 
-def _dropout(x, rate, rng, training):
+def _dropout(x, rate, rng, training, mask=None):
+    """``mask``: optional pregenerated keep-mask (bool, x.shape) — the fused
+    epoch hoists dropout draws out of the step scan (dispatch-bound steps;
+    see train/trainer.py); ``rng`` draws it here otherwise."""
     if not training or rate <= 0.0:
         return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    keep = (jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+            if mask is None else mask)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
@@ -133,15 +137,18 @@ def init_decoder(key, signal_shape=100, latent_dim=LATENT_DIM, hyperbolic=False)
     return params
 
 
-def decoder_apply(params, z, *, hyperbolic=False, training=False, rng=None):
+def decoder_apply(params, z, *, hyperbolic=False, training=False, rng=None,
+                  lstm_drop_masks=None):
     """z: (B, latent_dim) -> reconstruction.
 
     Euclidean: returns (B, signal_shape) tanh output.
     Hyperbolic: returns (hyper, eucl) like the reference (models/tadgan.py:63-66)
     where ``hyper`` are Poincare-ball points (B, signal_shape).
+    ``lstm_drop_masks``: optional pregenerated inter-layer keep-masks.
     """
     h = _linear(params["dense1"], z)[None, :, :]  # (1, B, 50)
-    h = lstm_forward(params["lstm"], h, training=training, dropout=0.2, rng=rng)
+    h = lstm_forward(params["lstm"], h, training=training, dropout=0.2,
+                     rng=rng, drop_masks=lstm_drop_masks)
     x = jnp.tanh(_linear(params["dense2"], h))[0]  # (B, signal_shape)
     if hyperbolic:
         hyper = mobius_linear(params["hyperbolic_linear"], x)
@@ -164,16 +171,18 @@ def init_critic_x(key, signal_shape=100, latent_dim=LATENT_DIM):
     }
 
 
-def critic_x_apply(params, x, *, training=False, rng=None):
-    """x: (B, signal_shape) -> (B, 1). Reference models/tadgan.py:91-106."""
-    if training and rng is not None:
+def critic_x_apply(params, x, *, training=False, rng=None, drop_masks=None):
+    """x: (B, signal_shape) -> (B, 1). Reference models/tadgan.py:91-106.
+    ``drop_masks``: optional (4, B, latent) pregenerated keep-masks."""
+    if training and rng is not None and drop_masks is None:
         rngs = jax.random.split(rng, 4)
     else:
         rngs = [None] * 4
     h = x
     for i, layer in enumerate(("dense1", "dense2", "dense3", "dense4")):
         h = _leaky_relu(_linear(params[layer], h))
-        h = _dropout(h, 0.25, rngs[i], training)
+        h = _dropout(h, 0.25, rngs[i], training,
+                     mask=None if drop_masks is None else drop_masks[i])
     return _linear(params["dense5"], h)
 
 
@@ -186,16 +195,18 @@ def init_critic_z(key, latent_dim=LATENT_DIM):
     }
 
 
-def critic_z_apply(params, z, *, training=False, rng=None):
-    """z: (B, latent_dim) -> (B, 1). Reference models/tadgan.py:123-132."""
-    if training and rng is not None:
+def critic_z_apply(params, z, *, training=False, rng=None, drop_masks=None):
+    """z: (B, latent_dim) -> (B, 1). Reference models/tadgan.py:123-132.
+    ``drop_masks``: optional (2, B, latent) pregenerated keep-masks."""
+    if training and rng is not None and drop_masks is None:
         rngs = jax.random.split(rng, 2)
     else:
         rngs = [None] * 2
     h = z
     for i, layer in enumerate(("dense1", "dense2")):
         h = _leaky_relu(_linear(params[layer], h))
-        h = _dropout(h, 0.2, rngs[i], training)
+        h = _dropout(h, 0.2, rngs[i], training,
+                     mask=None if drop_masks is None else drop_masks[i])
     return _linear(params["dense3"], h)
 
 

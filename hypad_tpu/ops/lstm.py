@@ -83,7 +83,8 @@ def _run_direction(x, w_ih, w_hh, b_ih, b_hh, reverse):
     return outs
 
 
-def lstm_forward(params, x, *, training=False, dropout=0.0, rng=None):
+def lstm_forward(params, x, *, training=False, dropout=0.0, rng=None,
+                 drop_masks=None):
     """Run a (possibly multi-layer, bidirectional) LSTM.
 
     Args:
@@ -92,6 +93,9 @@ def lstm_forward(params, x, *, training=False, dropout=0.0, rng=None):
       training: enables inter-layer dropout.
       dropout: inter-layer dropout probability (torch ``nn.LSTM(dropout=...)``).
       rng: PRNG key, required if ``training`` and dropout > 0 and >1 layers.
+      drop_masks: optional pregenerated keep-masks, one per inter-layer
+        dropout (num_layers - 1 entries); overrides ``rng`` draws (used by
+        the fused training epoch to hoist RNG out of dispatch-bound scans).
 
     Returns:
       (T, B, H * num_directions) outputs of the last layer.
@@ -113,9 +117,12 @@ def lstm_forward(params, x, *, training=False, dropout=0.0, rng=None):
             out = fwd
         is_last = layer_idx == num_layers - 1
         if training and dropout > 0.0 and not is_last:
-            if rng is None:
+            if drop_masks is not None:
+                keep = drop_masks[layer_idx]
+            elif rng is None:
                 raise ValueError("dropout in training mode requires an rng key")
-            rng, sub = jax.random.split(rng)
-            keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
+            else:
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, 1.0 - dropout, out.shape)
             out = jnp.where(keep, out / (1.0 - dropout), 0.0)
     return out

@@ -115,22 +115,35 @@ def _whole_batch_gp(critic_fn, interp):
 # the training process is distributionally identical to the reference's;
 # measured ~25% off the critic-phase wall-clock (see BENCH notes).
 
-def critic_x_loss(cx_params, gen_params, x, key, hyperbolic, training=True):
-    """Reference critic_x_iteration (train.py:18-104). x: (B, W)."""
+def critic_x_loss(cx_params, gen_params, x, key, hyperbolic, training=True,
+                  z=None, alpha=None, drop_masks=None, dec_drop_masks=None):
+    """Reference critic_x_iteration (train.py:18-104). x: (B, W).
+
+    ``z``/``alpha`` may be pregenerated (the fused epoch hoists them out of
+    the scan as one batched draw per pass — each per-step threefry is
+    several kernels and the step is dispatch-bound); None draws them here,
+    key-for-key identical to round 2."""
     B = x.shape[0]
-    k_drop, k_z, k_alpha, k_ddrop = jax.random.split(key, 4)
-    z = jax.random.normal(k_z, (B, gen_params["decoder"]["dense1"]["w"].shape[1]))
+    if z is None:
+        k_drop, k_z, k_alpha, k_ddrop = jax.random.split(key, 4)
+        z = jax.random.normal(
+            k_z, (B, gen_params["decoder"]["dense1"]["w"].shape[1]))
+        alpha = jax.random.uniform(k_alpha, x.shape)
+    else:
+        k_drop, k_ddrop = jax.random.split(key, 2)
+        k_ddrop = None if dec_drop_masks is not None else k_ddrop
     dec_out = decoder_apply(gen_params["decoder"], z, hyperbolic=hyperbolic,
-                            training=training, rng=k_ddrop)
+                            training=training, rng=k_ddrop,
+                            lstm_drop_masks=dec_drop_masks)
     x_fake = dec_out[0] if hyperbolic else dec_out
 
-    alpha = jax.random.uniform(k_alpha, x.shape)
     interp = (alpha * jax.lax.stop_gradient(x)
               + (1.0 - alpha) * jax.lax.stop_gradient(x_fake))
 
     def gp_sum(t):
         big = jnp.concatenate([x, x_fake, t])
-        out = critic_x_apply(cx_params, big, training=training, rng=k_drop)
+        out = critic_x_apply(cx_params, big, training=training, rng=k_drop,
+                             drop_masks=drop_masks)
         return jnp.sum(out[2 * B:]), out
 
     grads, out = jax.grad(gp_sum, has_aux=True)(interp)
@@ -139,21 +152,27 @@ def critic_x_loss(cx_params, gen_params, x, key, hyperbolic, training=True):
     return wl + GP_WEIGHT * (gn - 1.0) ** 2
 
 
-def critic_z_loss(cz_params, gen_params, x, key, hyperbolic, training=True):
-    """Reference critic_z_iteration (train.py:107-186)."""
+def critic_z_loss(cz_params, gen_params, x, key, hyperbolic, training=True,
+                  z=None, alpha=None, drop_masks=None):
+    """Reference critic_z_iteration (train.py:107-186). ``z``/``alpha``
+    pregenerated like critic_x_loss's."""
     B = x.shape[0]
     latent = gen_params["decoder"]["dense1"]["w"].shape[1]
-    k_drop, k_z, k_alpha = jax.random.split(key, 3)
+    if z is None:
+        k_drop, k_z, k_alpha = jax.random.split(key, 3)
+        z = jax.random.normal(k_z, (B, latent))
+        alpha = jax.random.uniform(k_alpha, (B, latent))
+    else:
+        (k_drop,) = jax.random.split(key, 1)
     z_enc = encoder_apply(gen_params["encoder"], x)
-    z = jax.random.normal(k_z, (B, latent))
 
-    alpha = jax.random.uniform(k_alpha, z.shape)
     interp = (alpha * jax.lax.stop_gradient(z)
               + (1.0 - alpha) * jax.lax.stop_gradient(z_enc))
 
     def gp_sum(t):
         big = jnp.concatenate([z_enc, z, t])
-        out = critic_z_apply(cz_params, big, training=training, rng=k_drop)
+        out = critic_z_apply(cz_params, big, training=training, rng=k_drop,
+                             drop_masks=drop_masks)
         return jnp.sum(out[2 * B:]), out
 
     grads, out = jax.grad(gp_sum, has_aux=True)(interp)
@@ -162,30 +181,39 @@ def critic_z_loss(cz_params, gen_params, x, key, hyperbolic, training=True):
     return wl + GP_WEIGHT * (gn - 1.0) ** 2
 
 
-def generator_loss(gen_params, cx_params, cz_params, x, key, hyperbolic, training=True):
+def generator_loss(gen_params, cx_params, cz_params, x, key, hyperbolic,
+                   training=True, z=None, masks=None):
     """Reference decoder_iteration (train.py:189-249). Returns
-    (loss, (rec_metric,)) where rec_metric is hyper_loss or mse."""
+    (loss, (rec_metric,)) where rec_metric is hyper_loss or mse.
+    ``z`` pregenerated like critic_x_loss's; ``masks``: optional dict of
+    pregenerated dropout keep-masks {m_cx, m_cz, m_dec}."""
     B = x.shape[0]
     latent = gen_params["decoder"]["dense1"]["w"].shape[1]
-    (k_z, k_cz, k_cx, k_ddrop) = jax.random.split(key, 4)
+    if z is None:
+        (k_z, k_cz, k_cx, k_ddrop) = jax.random.split(key, 4)
+        z = jax.random.normal(k_z, (B, latent))
+    else:
+        (k_cz, k_cx, k_ddrop) = jax.random.split(key, 3)
+    masks = masks or {}
 
     z_enc = encoder_apply(gen_params["encoder"], x)
-    fake_gen_z = critic_z_apply(cz_params, z_enc, training=training, rng=k_cz)
+    fake_gen_z = critic_z_apply(cz_params, z_enc, training=training, rng=k_cz,
+                                drop_masks=masks.get("m_cz"))
 
     # the reference runs the decoder twice (on z ~ N and on E(x),
     # train.py:214,:223); one stacked (2B, latent) forward halves the
     # latency-bound op count (iid dropout either way)
-    z = jax.random.normal(k_z, (B, latent))
     dec_out = decoder_apply(gen_params["decoder"],
                             jnp.concatenate([z, z_enc]),
                             hyperbolic=hyperbolic, training=training,
-                            rng=k_ddrop)
+                            rng=k_ddrop, lstm_drop_masks=masks.get("m_dec"))
     if hyperbolic:
         hyper, _ = dec_out
         x_gen_, x_gen_rec = hyper[:B], hyper[B:]
     else:
         x_gen_, x_gen_rec = dec_out[:B], dec_out[B:]
-    fake_gen_x = critic_x_apply(cx_params, x_gen_, training=training, rng=k_cx)
+    fake_gen_x = critic_x_apply(cx_params, x_gen_, training=training, rng=k_cx,
+                                drop_masks=masks.get("m_cx"))
 
     adv = -jnp.mean(fake_gen_x) - jnp.mean(fake_gen_z)
 
@@ -236,21 +264,26 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
         def constrain(b):
             return b
 
-    def joint_critic_loss(critics, gen, x, kx, kz):
+    def joint_critic_loss(critics, gen, x, kx, kz, draws):
         # one vjp for both critics: the two losses share no parameters
         # (critic_x_loss is independent of critic_z and vice versa, and the
         # generator is frozen here), so d(lx+lz)/d{cx,cz} yields exactly the
         # two sequential gradients of the reference's back-to-back
         # critic_x_iteration / critic_z_iteration (train.py:320,:325) in a
         # single fused backward pass
-        lx = critic_x_loss(critics["cx"], gen, x, kx, hyperbolic)
-        lz = critic_z_loss(critics["cz"], gen, x, kz, hyperbolic)
+        lx = critic_x_loss(critics["cx"], gen, x, kx, hyperbolic,
+                           z=draws["z_x"], alpha=draws["a_x"],
+                           drop_masks=draws["m_cx"],
+                           dec_drop_masks=draws["m_dec"])
+        lz = critic_z_loss(critics["cz"], gen, x, kz, hyperbolic,
+                           z=draws["z_z"], alpha=draws["a_z"],
+                           drop_masks=draws["m_cz"])
         return lx + lz, (lx, lz)
 
     def make_critic_batch(X):
         def critic_batch(carry, inp):
             params, o_cx, o_cz = carry
-            idx, key = inp
+            idx, key, draws = inp
             x = constrain(X[idx])
             kx, kz = jax.random.split(key)
             gen = _gen_params(params)
@@ -258,7 +291,7 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
             (_, (lx, lz)), grads = jax.value_and_grad(
                 joint_critic_loss, has_aux=True)(
                 {"cx": params["critic_x"], "cz": params["critic_z"]},
-                gen, x, kx, kz)
+                gen, x, kx, kz, draws)
             new_cx, o_cx = opt_cx.update(grads["cx"], o_cx,
                                          params["critic_x"])
             new_cz, o_cz = opt_cz.update(grads["cz"], o_cz,
@@ -272,13 +305,13 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
     def make_gen_batch(X):
         def gen_batch(carry, inp):
             params, o_gen = carry
-            idx, key = inp
+            idx, key, z, masks = inp
             x = constrain(X[idx])
             gen = _gen_params(params)
             (loss, rec), grads = jax.value_and_grad(
                 generator_loss, has_aux=True)(
                 gen, params["critic_x"], params["critic_z"], x, key,
-                hyperbolic)
+                hyperbolic, z=z, masks=masks)
             new_gen, o_gen = opt_gen.update(grads, o_gen, gen)
             params = dict(params, encoder=new_gen["encoder"],
                           decoder=new_gen["decoder"])
@@ -298,19 +331,57 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
             _shuffled_index(keys[i], n, n_batches, batch_size)
             for i in range(N_CRITICS)
         ])  # (5 * n_batches, B)
-        step_keys = jax.random.split(keys[N_CRITICS], critic_idx.shape[0])
+        S = critic_idx.shape[0]
+        latent = state.params["decoder"]["dense1"]["w"].shape[1]
+        cx_hidden = state.params["critic_x"]["dense1"]["w"].shape[0]
+        cz_hidden = state.params["critic_z"]["dense1"]["w"].shape[0]
+        lstm0 = state.params["decoder"]["lstm"][0]
+        dec_width = lstm0["w_hh"].shape[1] * (2 if "w_ih_rev" in lstm0 else 1)
+        kk = jax.random.split(keys[N_CRITICS], 8)
+        # hoist the per-step z / GP-alpha / critic-dropout draws out of the
+        # scan: one batched threefry per tensor kind per epoch instead of
+        # ~10 per step (the step is dispatch-bound at ~0.4us/kernel — see
+        # tools/profile_epoch.py; measured 8.6 -> 7.6 ms for the critic
+        # phase of a Yahoo-A1 epoch)
+        draws = {
+            "z_x": jax.random.normal(kk[0], (S, batch_size, latent)),
+            "a_x": jax.random.uniform(kk[1], (S, batch_size, X.shape[1])),
+            "z_z": jax.random.normal(kk[2], (S, batch_size, latent)),
+            "a_z": jax.random.uniform(kk[3], (S, batch_size, latent)),
+            # critics run on stacked (3B,) rows: real, fake, GP-interpolates
+            "m_cx": jax.random.bernoulli(
+                kk[4], 0.75, (S, 4, 3 * batch_size, cx_hidden)),
+            "m_cz": jax.random.bernoulli(
+                kk[5], 0.80, (S, 2, 3 * batch_size, cz_hidden)),
+            # decoder inter-layer LSTM dropout ((1 mask) x (T=1, B, 2H))
+            "m_dec": jax.random.bernoulli(
+                kk[6], 0.80, (S, 1, 1, batch_size, dec_width)),
+        }
+        step_keys = jax.random.split(kk[7], S)
         (params_c, o_cx, o_cz), (lx, lz) = jax.lax.scan(
             make_critic_batch(X),
             (state.params, state.opt_cx, state.opt_cz),
-            (critic_idx, step_keys),
+            (critic_idx, step_keys, draws),
         )
 
         # ---- one generator pass (train.py:347-356)
         gen_idx = _shuffled_index(keys[N_CRITICS + 1], n, n_batches,
                                   batch_size)
-        gkeys = jax.random.split(keys[-1], n_batches)
+        gk = jax.random.split(keys[-1], 6)
+        gkeys = jax.random.split(gk[0], n_batches)
+        gen_z = jax.random.normal(gk[1], (n_batches, batch_size, latent))
+        gen_masks = {
+            "m_cx": jax.random.bernoulli(
+                gk[2], 0.75, (n_batches, 4, batch_size, cx_hidden)),
+            "m_cz": jax.random.bernoulli(
+                gk[3], 0.80, (n_batches, 2, batch_size, cz_hidden)),
+            # gen runs the decoder on stacked (2B,) rows: z and E(x)
+            "m_dec": jax.random.bernoulli(
+                gk[4], 0.80, (n_batches, 1, 1, 2 * batch_size, dec_width)),
+        }
         (params_g, o_gen), (lg, rec) = jax.lax.scan(
-            make_gen_batch(X), (params_c, state.opt_gen), (gen_idx, gkeys))
+            make_gen_batch(X), (params_c, state.opt_gen),
+            (gen_idx, gkeys, gen_z, gen_masks))
 
         metrics = {
             "critic_x_loss": jnp.mean(lx),
