@@ -22,10 +22,13 @@ extras (all measured in the same run, full-framework coverage):
              pipelines (reference: 392.6 / ~193 windows/s)
   detect_e2e_wps — END-TO-END detection (model forward + full scoring in
              one device program, scores-only / save_artifacts: false path)
-             vs the same 392.6 w/s reference stage
-  detect_e2e_resident_wps — same program with device-resident windows
-             (no host->device upload; the upload dominates the warm path
-             through the tunneled backend)
+             vs the same 392.6 w/s reference stage. Measured on the WIRED
+             CLI path (windows staged on device once, round 3)
+  detect_e2e_upload_wps — same program paying the host->device window
+             upload every call (the upload dominates the warm path through
+             the tunneled backend; pre-round-3 CLI behavior)
+  detect_20k_wps — the wired one-call program at 20k windows (the PARITY
+             warm-path-anatomy regime)
   pallas_ok / pallas_kde_tie_flips / pallas_mobius_maxdiff — on-chip
              equivalence of the hand-tiled Mosaic kernels vs their jnp
              references, re-proven on every bench run. mobius_linear_fused
@@ -174,7 +177,26 @@ def main():
     # ---- end-to-end detection throughput: ONE program (forward + full
     # scoring), scores-only so the inference-tensor transfer is DCE'd —
     # the save_artifacts: false fast path (reference: ~392.6 w/s for the
-    # same forward+score stage, anomaly_detection.py:46-113 + host scoring)
+    # same forward+score stage, anomaly_detection.py:46-113 + host scoring).
+    # detect_e2e_wps measures THE WIRED CLI PATH (round 3): the detector
+    # stages windows on device once (detect/detector.py) and scores the
+    # resident array; detect_e2e_upload_wps is the same program paying the
+    # host->device upload every call (pre-round-3 CLI behavior).
+    import jax.numpy as jnp
+
+    X_dev = jax.device_put(jnp.asarray(data.X, jnp.float32),
+                           jax.devices()[0])
+    sc.detect_scores(state.params, X_dev, True, "uncertainty", mesh=mesh,
+                     fetch_inference=False)  # warm
+    t0 = time.time()
+    scores_e2e, _ = sc.detect_scores(state.params, X_dev, True,
+                                     "uncertainty", mesh=mesh,
+                                     fetch_inference=False)
+    float(scores_e2e[-1])
+    detect_e2e_wps = len(data.X) / (time.time() - t0)
+
+    # a committed-device input is a different sharding than an uncommitted
+    # numpy upload -> separate executable; warm each before timing
     sc.detect_scores(state.params, data.X, True, "uncertainty",
                      mesh=mesh, fetch_inference=False)  # warm
     t0 = time.time()
@@ -182,24 +204,20 @@ def main():
                                      "uncertainty", mesh=mesh,
                                      fetch_inference=False)
     float(scores_e2e[-1])
-    detect_e2e_wps = len(data.X) / (time.time() - t0)
+    detect_upload_wps = len(data.X) / (time.time() - t0)
 
-    # same program with the windows already device-resident (the pipeline
-    # can stage them once); isolates compute from the host->device upload
-    import jax.numpy as jnp
-
-    X_dev = jax.device_put(jnp.asarray(data.X, jnp.float32),
-                           jax.devices()[0])
-    # a committed-device input is a different sharding than the uncommitted
-    # numpy upload -> separate executable; warm it before timing
-    sc.detect_scores(state.params, X_dev, True, "uncertainty", mesh=mesh,
-                     fetch_inference=False)
+    # the 20k-window regime (PARITY.md warm-path anatomy row), wired path
+    rng20 = __import__("numpy").random.default_rng(3)
+    X20 = jax.device_put(jnp.asarray(
+        rng20.uniform(-1, 1, (20_000, 100)).astype("float32")),
+        jax.devices()[0])
+    sc.detect_scores(state.params, X20, True, "uncertainty", mesh=mesh,
+                     fetch_inference=False)  # warm
     t0 = time.time()
-    scores_e2e, _ = sc.detect_scores(state.params, X_dev, True,
-                                     "uncertainty", mesh=mesh,
-                                     fetch_inference=False)
-    float(scores_e2e[-1])
-    detect_resident_wps = len(data.X) / (time.time() - t0)
+    s20, _ = sc.detect_scores(state.params, X20, True, "uncertainty",
+                              mesh=mesh, fetch_inference=False)
+    float(s20[-1])
+    detect_20k_wps = len(X20) / (time.time() - t0)
 
     # ---- SMAP A-1 hyperbolic epoch (separate train split, 2780 windows —
     # the second PARITY headline; driver-reproducible per VERDICT r2 item 4)
@@ -246,7 +264,8 @@ def main():
         f"mv_one_call={mv_rows_per_s:.0f}rows/s "
         f"hyper_scoring={hyper_wps:.0f}w/s "
         f"detect_e2e={detect_e2e_wps:.0f}w/s "
-        f"detect_resident={detect_resident_wps:.0f}w/s "
+        f"detect_upload={detect_upload_wps:.0f}w/s "
+        f"detect_20k={detect_20k_wps:.0f}w/s "
         f"eucl_dtw_scoring={eucl_wps:.0f}w/s pallas_ok={pallas_ok} "
         f"(kde_tie_flips={kde_flips}, mobius_maxdiff={ml_maxdiff})",
         file=sys.stderr,
@@ -268,7 +287,8 @@ def main():
             "detect_e2e_wps": round(detect_e2e_wps),
             "detect_e2e_vs_baseline": round(detect_e2e_wps / REF_DETECT_WPS,
                                             2),
-            "detect_e2e_resident_wps": round(detect_resident_wps),
+            "detect_e2e_upload_wps": round(detect_upload_wps),
+            "detect_20k_wps": round(detect_20k_wps),
             "eucl_dtw_scoring_wps": round(eucl_wps),
             "ref_scoring_wps": REF_DETECT_WPS,
             "pallas_ok": pallas_ok,
