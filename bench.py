@@ -16,7 +16,9 @@ extras (all measured in the same run, full-framework coverage):
   smap_epoch_s / smap_vs_baseline — HypAD epoch on the SMAP A-1 train split
              (2780 windows) vs the 11.4 s reference baseline
   mv_one_call_rows_per_s — multivariate one-call detection throughput
-             (50k x 51 SWAT-shaped rows, hyperbolic mult, scores-only)
+             (50k x 51 SWAT-shaped rows, hyperbolic mult, scores-only);
+             the _resident_ variant is the wired CLI path (rows staged on
+             device once, no per-call upload)
   hyper_scoring_wps / eucl_dtw_scoring_wps — detection throughput
              (windows/sec) for the hyperbolic and euclidean-DTW scoring
              pipelines (reference: 392.6 / ~193 windows/s)
@@ -148,8 +150,21 @@ def _pallas_onchip_check(data, state):
     return bool(kde_ok and ml_ok), int(max(v1_flips, v2_flips)), ml_maxdiff
 
 
+def _throughput(fn, n):
+    """Shared timing protocol: one warm call (compile + remote fingerprint),
+    then one timed call with forced completion (float-fetch the last
+    element — block_until_ready lies through the tunnel)."""
+    fn()
+    t0 = time.time()
+    out = fn()
+    float(out[-1])
+    return n / (time.time() - t0)
+
+
 def main():
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from hypad_tpu.detect import scorer as sc
     from hypad_tpu.parallel.mesh import batch_multiple, make_mesh
@@ -157,6 +172,7 @@ def main():
     data_root = os.environ.get("HYPAD_DATA", "/root/reference/data")
     mesh = make_mesh("all")
     batch = batch_multiple(64, mesh)
+    dev0 = jax.devices()[0]
 
     # ---- headline: hyperbolic Yahoo A1 training epoch
     a1_csv = os.path.join(data_root, "YAHOO", "A1Benchmark", "real_1.csv")
@@ -169,10 +185,9 @@ def main():
 
     # ---- scoring throughput, hyperbolic pipeline (mesh-sharded when >1 dev)
     inf = sc.run_inference(state.params, data.X, True, mesh=mesh)
-    sc.score_anomalies_hyperbolic(inf, "uncertainty", mesh=mesh)  # warm
-    t0 = time.time()
-    sc.score_anomalies_hyperbolic(inf, "uncertainty", mesh=mesh)
-    hyper_wps = len(data.X) / (time.time() - t0)
+    hyper_wps = _throughput(
+        lambda: sc.score_anomalies_hyperbolic(inf, "uncertainty", mesh=mesh),
+        len(data.X))
 
     # ---- end-to-end detection throughput: ONE program (forward + full
     # scoring), scores-only so the inference-tensor transfer is DCE'd —
@@ -181,43 +196,24 @@ def main():
     # detect_e2e_wps measures THE WIRED CLI PATH (round 3): the detector
     # stages windows on device once (detect/detector.py) and scores the
     # resident array; detect_e2e_upload_wps is the same program paying the
-    # host->device upload every call (pre-round-3 CLI behavior).
-    import jax.numpy as jnp
+    # host->device upload every call (pre-round-3 CLI behavior). A
+    # committed-device input is a different sharding than an uncommitted
+    # numpy upload -> separate executable; _throughput warms each.
+    def detect(x, multivariate=False, p=None):
+        return sc.detect_scores(p or state.params, x, True,
+                                "mult" if multivariate else "uncertainty",
+                                mesh=mesh, fetch_inference=False,
+                                multivariate=multivariate)[0]
 
-    X_dev = jax.device_put(jnp.asarray(data.X, jnp.float32),
-                           jax.devices()[0])
-    sc.detect_scores(state.params, X_dev, True, "uncertainty", mesh=mesh,
-                     fetch_inference=False)  # warm
-    t0 = time.time()
-    scores_e2e, _ = sc.detect_scores(state.params, X_dev, True,
-                                     "uncertainty", mesh=mesh,
-                                     fetch_inference=False)
-    float(scores_e2e[-1])
-    detect_e2e_wps = len(data.X) / (time.time() - t0)
-
-    # a committed-device input is a different sharding than an uncommitted
-    # numpy upload -> separate executable; warm each before timing
-    sc.detect_scores(state.params, data.X, True, "uncertainty",
-                     mesh=mesh, fetch_inference=False)  # warm
-    t0 = time.time()
-    scores_e2e, _ = sc.detect_scores(state.params, data.X, True,
-                                     "uncertainty", mesh=mesh,
-                                     fetch_inference=False)
-    float(scores_e2e[-1])
-    detect_upload_wps = len(data.X) / (time.time() - t0)
+    X_dev = jax.device_put(jnp.asarray(data.X, jnp.float32), dev0)
+    detect_e2e_wps = _throughput(lambda: detect(X_dev), len(data.X))
+    detect_upload_wps = _throughput(lambda: detect(data.X), len(data.X))
 
     # the 20k-window regime (PARITY.md warm-path anatomy row), wired path
-    rng20 = __import__("numpy").random.default_rng(3)
+    rng = np.random.default_rng(3)
     X20 = jax.device_put(jnp.asarray(
-        rng20.uniform(-1, 1, (20_000, 100)).astype("float32")),
-        jax.devices()[0])
-    sc.detect_scores(state.params, X20, True, "uncertainty", mesh=mesh,
-                     fetch_inference=False)  # warm
-    t0 = time.time()
-    s20, _ = sc.detect_scores(state.params, X20, True, "uncertainty",
-                              mesh=mesh, fetch_inference=False)
-    float(s20[-1])
-    detect_20k_wps = len(X20) / (time.time() - t0)
+        rng.uniform(-1, 1, (20_000, 100)).astype(np.float32)), dev0)
+    detect_20k_wps = _throughput(lambda: detect(X20), len(X20))
 
     # ---- SMAP A-1 hyperbolic epoch (separate train split, 2780 windows —
     # the second PARITY headline; driver-reproducible per VERDICT r2 item 4)
@@ -226,34 +222,28 @@ def main():
                                       batch)
 
     # ---- multivariate one-call detection throughput (SWAT-shaped 50k x 51,
-    # hyperbolic mult, scores-only): the PARITY.md 150.5k rows/s row
-    import numpy as np
-
+    # hyperbolic mult, scores-only): the PARITY.md 150.5k rows/s row, plus
+    # the wired CLI variant (rows staged on device once, detect/detector.py)
     from hypad_tpu.models.tadgan import init_tadgan
 
-    rng = np.random.default_rng(0)
-    mv_X = rng.uniform(-1, 1, (50_000, 51)).astype(np.float32)
+    mv_X = np.random.default_rng(0).uniform(
+        -1, 1, (50_000, 51)).astype(np.float32)
     with jax.default_device(jax.devices("cpu")[0]):
         mv_params = init_tadgan(jax.random.PRNGKey(2), signal_shape=51,
                                 hyperbolic=True)
-    mv_params = jax.device_put(mv_params, jax.devices()[0])
-    sc.detect_scores(mv_params, mv_X, True, "mult", mesh=mesh,
-                     fetch_inference=False, multivariate=True)  # warm
-    t0 = time.time()
-    mv_scores, _ = sc.detect_scores(mv_params, mv_X, True, "mult", mesh=mesh,
-                                    fetch_inference=False, multivariate=True)
-    float(mv_scores[-1])
-    mv_rows_per_s = len(mv_X) / (time.time() - t0)
+    mv_params = jax.device_put(mv_params, dev0)
+    mv_rows_per_s = _throughput(
+        lambda: detect(mv_X, multivariate=True, p=mv_params), len(mv_X))
+    mv_X_dev = jax.device_put(jnp.asarray(mv_X), dev0)
+    mv_resident_rows_per_s = _throughput(
+        lambda: detect(mv_X_dev, multivariate=True, p=mv_params), len(mv_X))
 
     # ---- scoring throughput, euclidean-DTW pipeline
-    y = data.X
-    y_hat = inf.eucl_recons
-    sc.score_anomalies_euclidean(y, y_hat, inf.critic_score, "dtw", "mult",
-                                 mesh=mesh)  # warm
-    t0 = time.time()
-    sc.score_anomalies_euclidean(y, y_hat, inf.critic_score, "dtw", "mult",
-                                 mesh=mesh)
-    eucl_wps = len(y) / (time.time() - t0)
+    eucl_wps = _throughput(
+        lambda: sc.score_anomalies_euclidean(
+            data.X, inf.eucl_recons, inf.critic_score, "dtw", "mult",
+            mesh=mesh),
+        len(data.X))
 
     # ---- on-chip Pallas validation
     pallas_ok, kde_flips, ml_maxdiff = _pallas_onchip_check(data, state)
@@ -262,6 +252,7 @@ def main():
         f"[bench] devices={jax.device_count()} epoch={epoch_s:.4f}s "
         f"eucl_epoch={eucl_epoch_s:.4f}s smap_epoch={smap_epoch_s:.4f}s "
         f"mv_one_call={mv_rows_per_s:.0f}rows/s "
+        f"mv_resident={mv_resident_rows_per_s:.0f}rows/s "
         f"hyper_scoring={hyper_wps:.0f}w/s "
         f"detect_e2e={detect_e2e_wps:.0f}w/s "
         f"detect_upload={detect_upload_wps:.0f}w/s "
@@ -283,6 +274,7 @@ def main():
             "smap_vs_baseline": round(REF_SMAP_EPOCH_SECONDS / smap_epoch_s,
                                       2),
             "mv_one_call_rows_per_s": round(mv_rows_per_s),
+            "mv_one_call_resident_rows_per_s": round(mv_resident_rows_per_s),
             "hyper_scoring_wps": round(hyper_wps),
             "detect_e2e_wps": round(detect_e2e_wps),
             "detect_e2e_vs_baseline": round(detect_e2e_wps / REF_DETECT_WPS,

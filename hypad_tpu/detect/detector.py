@@ -77,7 +77,10 @@ def detect(params, state_params, test_data, run_path, read_path="",
         # for unique_dataset/Yahoo train->detect runs the CLI already put
         # the very same windows on device for training (cli.cmd_train)
         X_dev = getattr(test_data, "X_device", None)
-        if X_dev is None:
+        if X_dev is None and len(test_data.X) <= sc.ONE_CALL_MAX_WINDOWS:
+            # (beyond the one-call limit the scorer falls back to chunked
+            # host-batched inference — staging everything up front would
+            # only add a wasted round trip)
             import jax.numpy as jnp
 
             X_dev = jnp.asarray(np.asarray(test_data.X, np.float32))
@@ -86,7 +89,8 @@ def detect(params, state_params, test_data, run_path, read_path="",
             except AttributeError:
                 pass  # dataset objects without assignable attrs still work
         one_call_scores, inference = sc.detect_scores(
-            state_params, X_dev, params.hyperbolic,
+            state_params, X_dev if X_dev is not None else test_data.X,
+            params.hyperbolic,
             params.combination, rec_error=params.rec_error, mesh=mesh,
             fetch_inference=save_artifacts,
             multivariate=is_mv,

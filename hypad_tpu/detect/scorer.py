@@ -567,7 +567,12 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
     else:
         X = np.asarray(X, np.float32)
     if len(X) > ONE_CALL_MAX_WINDOWS:
-        inference = run_inference(params, X, hyperbolic, mesh=mesh)
+        # chunked host-batched fallback: feed it the host copy when we have
+        # one rather than reading the device array back (run_inference's
+        # np.asarray would be a full device->host transfer)
+        X_in = X_host if (X_host is not None
+                          and isinstance(X, jax.Array)) else X
+        inference = run_inference(params, X_in, hyperbolic, mesh=mesh)
         if multivariate:
             scores = score_anomalies_multivariate(inference, combination,
                                                   hyperbolic, mesh=mesh)

@@ -32,6 +32,12 @@ from hypad_tpu.manifold import stereographic as st
 from hypad_tpu.ops.lstm import init_lstm_params, lstm_forward
 
 LATENT_DIM = 20  # hardcoded by the reference (train.py:413)
+# dropout rates (reference models/tadgan.py:91-106,:123-132,:35-41).
+# The fused epoch pregenerates keep-masks from these same constants
+# (train/trainer.py) — change them HERE only.
+CX_DROPOUT = 0.25       # CriticX, after each hidden layer
+CZ_DROPOUT = 0.2        # CriticZ
+DEC_LSTM_DROPOUT = 0.2  # decoder inter-layer LSTM dropout
 
 
 # --------------------------------------------------------------------------
@@ -147,8 +153,9 @@ def decoder_apply(params, z, *, hyperbolic=False, training=False, rng=None,
     ``lstm_drop_masks``: optional pregenerated inter-layer keep-masks.
     """
     h = _linear(params["dense1"], z)[None, :, :]  # (1, B, 50)
-    h = lstm_forward(params["lstm"], h, training=training, dropout=0.2,
-                     rng=rng, drop_masks=lstm_drop_masks)
+    h = lstm_forward(params["lstm"], h, training=training,
+                     dropout=DEC_LSTM_DROPOUT, rng=rng,
+                     drop_masks=lstm_drop_masks)
     x = jnp.tanh(_linear(params["dense2"], h))[0]  # (B, signal_shape)
     if hyperbolic:
         hyper = mobius_linear(params["hyperbolic_linear"], x)
@@ -181,7 +188,7 @@ def critic_x_apply(params, x, *, training=False, rng=None, drop_masks=None):
     h = x
     for i, layer in enumerate(("dense1", "dense2", "dense3", "dense4")):
         h = _leaky_relu(_linear(params[layer], h))
-        h = _dropout(h, 0.25, rngs[i], training,
+        h = _dropout(h, CX_DROPOUT, rngs[i], training,
                      mask=None if drop_masks is None else drop_masks[i])
     return _linear(params["dense5"], h)
 
@@ -205,7 +212,7 @@ def critic_z_apply(params, z, *, training=False, rng=None, drop_masks=None):
     h = z
     for i, layer in enumerate(("dense1", "dense2")):
         h = _leaky_relu(_linear(params[layer], h))
-        h = _dropout(h, 0.2, rngs[i], training,
+        h = _dropout(h, CZ_DROPOUT, rngs[i], training,
                      mask=None if drop_masks is None else drop_masks[i])
     return _linear(params["dense3"], h)
 

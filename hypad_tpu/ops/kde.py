@@ -42,11 +42,13 @@ def kde_argmax_rows(vals, mask, block=1024):
 
         # masked entries become a 1e18 sentinel: any pair touching one has
         # diff^2 ~ 1e36, the scaled exponent is a huge negative (or -inf)
-        # and exp == exactly 0 — bitwise-identical to the explicit
-        # (t, W, W) pair-mask select (verified on-chip at 20k rows), one
+        # and exp == exactly 0 — same outputs as the explicit (t, W, W)
+        # pair-mask select (verified bitwise on-chip at 20k rows), one
         # fewer rank-3 op. Sentinel-sentinel pairs contribute only to
         # masked rows, discarded below. Assumes |vals| << 1e18 (critic
-        # scores are O(1) — see ops/kde_pallas.py docstring).
+        # scores are O(1) — see ops/kde_pallas.py docstring). The
+        # scale-multiply form below is deliberately shared with the Pallas
+        # v1 kernel so their bitwise-equality tests hold by construction.
         scale = (-0.5 / h2_safe)[:, None, None]
         vs = jnp.where(mb, vb, 1e18)
         diff = vs[:, :, None] - vs[:, None, :]                # (t, W, W)

@@ -53,6 +53,10 @@ def _kernel(vals_ref, mask_ref, kde_ref, use_ref):
     var = jnp.sum(centered * centered, axis=-1) / jnp.maximum(cnt_f - 1.0, 1.0)
     h2 = var * cnt_f ** (-0.4)            # Scott: var * n^(-2/5)
     h2_safe = jnp.where(h2 > 0, h2, 1.0)
+    # SAME arithmetic form as ops/kde.py one_block (scale-multiply, not
+    # divide) so v1-vs-jnp bitwise equality holds by construction, not just
+    # empirically — FP rounding of x/(2h^2) and x*(-0.5/h^2) can differ
+    scale = (-0.5 / h2_safe)[:, None, None]
 
     # masked entries become a huge sentinel: any pair touching one has
     # diff^2 ~ 1e36 and exp(-...) == exactly 0 — the same contribution the
@@ -62,7 +66,7 @@ def _kernel(vals_ref, mask_ref, kde_ref, use_ref):
     # Sentinel-sentinel pairs land only on masked rows, discarded below.
     vs = jnp.where(m, v, 1e18)
     diff = vs[:, :, None] - vs[:, None, :]  # (TILE_T, Wp, Wp)
-    kern = jnp.exp(-(diff * diff) / (2.0 * h2_safe[:, None, None]))
+    kern = jnp.exp(scale * (diff * diff))
     dens = jnp.sum(kern, axis=-1)
     dens = jnp.where(m, dens, -jnp.inf)
     # first-max select (Mosaic has neither row gather nor cumsum): find the

@@ -45,6 +45,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from hypad_tpu.models.tadgan import (
+    CX_DROPOUT,
+    CZ_DROPOUT,
+    DEC_LSTM_DROPOUT,
     critic_x_apply,
     critic_z_apply,
     decoder_apply,
@@ -350,12 +353,12 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
             "a_z": jax.random.uniform(kk[3], (S, batch_size, latent)),
             # critics run on stacked (3B,) rows: real, fake, GP-interpolates
             "m_cx": jax.random.bernoulli(
-                kk[4], 0.75, (S, 4, 3 * batch_size, cx_hidden)),
+                kk[4], 1.0 - CX_DROPOUT, (S, 4, 3 * batch_size, cx_hidden)),
             "m_cz": jax.random.bernoulli(
-                kk[5], 0.80, (S, 2, 3 * batch_size, cz_hidden)),
+                kk[5], 1.0 - CZ_DROPOUT, (S, 2, 3 * batch_size, cz_hidden)),
             # decoder inter-layer LSTM dropout ((1 mask) x (T=1, B, 2H))
             "m_dec": jax.random.bernoulli(
-                kk[6], 0.80, (S, 1, 1, batch_size, dec_width)),
+                kk[6], 1.0 - DEC_LSTM_DROPOUT, (S, 1, 1, batch_size, dec_width)),
         }
         step_keys = jax.random.split(kk[7], S)
         (params_c, o_cx, o_cz), (lx, lz) = jax.lax.scan(
@@ -372,12 +375,12 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
         gen_z = jax.random.normal(gk[1], (n_batches, batch_size, latent))
         gen_masks = {
             "m_cx": jax.random.bernoulli(
-                gk[2], 0.75, (n_batches, 4, batch_size, cx_hidden)),
+                gk[2], 1.0 - CX_DROPOUT, (n_batches, 4, batch_size, cx_hidden)),
             "m_cz": jax.random.bernoulli(
-                gk[3], 0.80, (n_batches, 2, batch_size, cz_hidden)),
+                gk[3], 1.0 - CZ_DROPOUT, (n_batches, 2, batch_size, cz_hidden)),
             # gen runs the decoder on stacked (2B,) rows: z and E(x)
             "m_dec": jax.random.bernoulli(
-                gk[4], 0.80, (n_batches, 1, 1, 2 * batch_size, dec_width)),
+                gk[4], 1.0 - DEC_LSTM_DROPOUT, (n_batches, 1, 1, 2 * batch_size, dec_width)),
         }
         (params_g, o_gen), (lg, rec) = jax.lax.scan(
             make_gen_batch(X), (params_c, state.opt_gen),

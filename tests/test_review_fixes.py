@@ -247,18 +247,20 @@ def test_detector_stages_windows_on_device_and_reuses(tmp_path):
     from hypad_tpu.data.pipeline import SignalData
     from hypad_tpu.detect import detector as det
 
-    rng = np.random.default_rng(34)
     n, w = 150, 50
-    mk = lambda: SignalData(  # noqa: E731
-        X=rng2.uniform(-1, 1, (n, w)).astype(np.float32),
-        y=np.zeros((n, 1), np.float32),
-        X_index=np.arange(n, dtype=np.float64),
-        y_index=np.arange(n, dtype=np.float64) + w,
-        index=np.arange(n + w, dtype=np.float64),
-    )
-    rng2 = np.random.default_rng(34)
+
+    def mk():
+        # fresh generator per dataset: d1.X must equal d2.X exactly
+        rng = np.random.default_rng(34)
+        return SignalData(
+            X=rng.uniform(-1, 1, (n, w)).astype(np.float32),
+            y=np.zeros((n, 1), np.float32),
+            X_index=np.arange(n, dtype=np.float64),
+            y_index=np.arange(n, dtype=np.float64) + w,
+            index=np.arange(n + w, dtype=np.float64),
+        )
+
     d1 = mk()
-    rng2 = np.random.default_rng(34)
     d2 = mk()
     known = pd.DataFrame({"start": [30.0], "end": [60.0]})
     model = _tiny_model(w=w)
