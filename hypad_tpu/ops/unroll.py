@@ -22,15 +22,24 @@ def antidiagonal_gather(y_hat):
     Row i holds the values predicted for timestep i: ``y_hat[i - j, j]`` for
     the valid j's, in ascending-j order (matching the reference's loop order);
     invalid entries are 0 with mask False. T = N + W - 1.
+
+    Built GATHER-FREE with the pad-reshape skew trick: padding each row of
+    y_hat.T by W zeros and re-viewing the flat buffer at width T shifts row
+    j right by exactly j, so S[j, t] = y_hat[t - j, j] (out-of-range t-j
+    lands in the zero padding); the anti-diagonal matrix is S.T. TPU
+    gathers are slow — the round-3 on-chip probe measured the old
+    ``y_hat[clip(i-j), j]`` 2-D gather at ~20 ms for 20k x 100 vs <1 ms for
+    this formulation (PARITY.md); outputs are bitwise-identical.
     """
     N, W = y_hat.shape
     T = N + W - 1
+    P = jnp.pad(y_hat.T, ((0, 0), (0, W)))       # (W, N + W)
+    vals = P.reshape(-1)[:-W].reshape(W, T).T    # (T, W), zeros off-band
     i = jnp.arange(T)[:, None]        # (T, 1)
     j = jnp.arange(W)[None, :]        # (1, W)
     n = i - j                          # window index
     mask = (n >= 0) & (n < N)
-    vals = y_hat[jnp.clip(n, 0, N - 1), j]
-    return jnp.where(mask, vals, 0.0), mask
+    return vals, mask
 
 
 def masked_median(vals, mask):
