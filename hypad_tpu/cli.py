@@ -126,7 +126,8 @@ def _run_detection(params, model_params, test_data, path, read_path,
     t0 = time.time()
     with stage("detect"):
         result = detect(params, model_params, test_data, path,
-                        read_path=read_path, mesh=mesh)
+                        read_path=read_path, mesh=mesh,
+                        save_plots=getattr(params, "save_plots", None))
     wall = time.time() - t0
     n_windows = len(test_data.X)
     print(f"detection wall-clock: {wall:.2f}s "

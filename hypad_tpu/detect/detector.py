@@ -31,14 +31,19 @@ from hypad_tpu.utils import artifacts
 
 
 def detect(params, state_params, test_data, run_path, read_path="",
-           known_anomalies=None, save_plots=False, mesh=None):
+           known_anomalies=None, save_plots=None, mesh=None):
     """Full detection pass. Returns a result dict with scores, intervals and
     metrics (None metrics when no ground truth / no predictions).
 
     ``mesh``: optional dp mesh — inference and the device scoring stages are
     sharded over the window axis across all mesh devices (SURVEY §2.3
     scoring parallelism); results are identical to single-device scoring
-    (tests/test_sharded_scoring.py)."""
+    (tests/test_sharded_scoring.py).
+
+    ``save_plots``: None = reference behavior (anomaly overlay plot saved
+    for multivariate runs, utils/anomaly_detection_utils.py:220; none for
+    univariate); True/False overrides either way (``save_plots`` config
+    key)."""
     os.makedirs(run_path, exist_ok=True)
 
     # multivariate dispatch: the reference keys on signal == 'multivariate'
@@ -171,15 +176,21 @@ def detect(params, state_params, test_data, run_path, read_path="",
     if params.save_result:
         _append_results_csv(params, result["confusion"])
 
+    if save_plots is None:
+        save_plots = is_mv
     if save_plots:
         from hypad_tpu.utils.plotting import plot_anomaly_intervals
 
-        plot_anomaly_intervals(
-            [pred_anomalies] + ([known_anomalies]
-                                if known_anomalies is not None and
-                                len(known_anomalies) else []),
-            np.arange(len(final_scores)) if is_mv else true_index,
-            np.asarray(final_scores), run_path)
+        try:
+            plot_anomaly_intervals(
+                [pred_anomalies] + ([known_anomalies]
+                                    if known_anomalies is not None and
+                                    len(known_anomalies) else []),
+                np.arange(len(final_scores)) if is_mv else true_index,
+                np.asarray(final_scores), run_path)
+        except ImportError:  # matplotlib is the optional 'plots' extra
+            print("save_plots requested but matplotlib is not installed "
+                  "(pip install 'hypad-tpu[plots]'); skipping plot")
 
     return result
 

@@ -53,6 +53,10 @@ DEFAULTS = {
     # their device->host transfer, ~3x faster warm detection) — opt-in
     # divergence, incompatible with load: True
     "save_artifacts": True,
+    # None = reference behavior: anomaly overlay plot saved for
+    # multivariate runs only (utils/anomaly_detection_utils.py:220);
+    # True/False force it either way
+    "save_plots": None,
 }
 
 VALID_COMBINATIONS = ("sum", "mult", "uncertainty", "critic",

@@ -280,3 +280,41 @@ def test_detector_stages_windows_on_device_and_reuses(tmp_path):
                     known_anomalies=known)
     np.testing.assert_allclose(r1["scores"], r2["scores"], rtol=1e-6,
                                atol=1e-7)
+
+
+def test_detection_plots_reference_behavior(tmp_path):
+    """save_plots=None follows the reference: anomaly overlay saved for
+    multivariate runs (utils/anomaly_detection_utils.py:220), none for
+    univariate; save_plots=True forces it for univariate too."""
+    import os
+    from types import SimpleNamespace
+
+    from hypad_tpu.data.pipeline import SignalData
+    from hypad_tpu.detect import detector as det
+
+    rng = np.random.default_rng(40)
+    n, w = 120, 30
+    test_data = SignalData(
+        X=rng.uniform(-1, 1, (n, w)).astype(np.float32),
+        y=np.zeros((n, 1), np.float32),
+        X_index=np.arange(n, dtype=np.float64),
+        y_index=np.arange(n, dtype=np.float64) + w,
+        index=np.arange(n + w, dtype=np.float64),
+    )
+    known = pd.DataFrame({"start": [30.0], "end": [60.0]})
+    model = _tiny_model(w=w)
+
+    def run(d, signal, save_plots):
+        params = SimpleNamespace(signal=signal, dataset="NAB",
+                                 hyperbolic=True, combination="rec",
+                                 rec_error="point", load=False,
+                                 save_result=False, save_artifacts=False,
+                                 save_plots=save_plots)
+        det.detect(params, model, test_data, str(tmp_path / d),
+                   known_anomalies=known, save_plots=save_plots)
+        return os.path.exists(tmp_path / d / "anomalies.png")
+
+    assert not run("uni_default", "s", None)         # univariate: no plot
+    assert run("uni_forced", "s", True)              # forced on
+    assert run("mv_default", "multivariate", None)   # mv: reference plots
+    assert not run("mv_off", "multivariate", False)  # forced off
