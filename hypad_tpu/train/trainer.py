@@ -248,14 +248,25 @@ def _shuffled_index(key, n, n_batches, batch_size):
     return perm.reshape(n_batches, batch_size)
 
 
-def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
-    """Compile-once epoch runner: (state, X, key) -> (state, metrics).
+def _masked_shuffled_index(key, n, n_real, n_batches, batch_size):
+    """Ragged-mode shuffle: a uniform random permutation of the first
+    ``n_real`` (traced) of ``n`` padded rows, truncated drop_last-style.
 
-    ``mesh``: optional jax.sharding.Mesh with a 'dp' axis; batches get a
-    sharding constraint over it so XLA partitions every step across devices.
-    """
-    opt_cx, opt_cz, opt_gen = make_optimizers(lr, hyperbolic)
+    argsort of iid U(0,1) keys is a uniform permutation; pushing pad rows'
+    keys above the real range keeps them out of the first ``n_real``
+    positions, so every VALID batch (see the step-validity mask) sees only
+    real rows. Distributionally identical to the sequential trainer's
+    ``jax.random.permutation`` shuffle (train.py:315-331 semantics), but not
+    the same RNG stream — ragged fleets are documented as distributionally
+    rather than bitwise equivalent (train/fleet.py)."""
+    u = jax.random.uniform(key, (n,))
+    u = jnp.where(jnp.arange(n) < n_real, u, 2.0)
+    order = jnp.argsort(u)
+    return order[: n_batches * batch_size].reshape(n_batches, batch_size)
 
+
+def _mesh_constrain(mesh):
+    """Batch-axis dp sharding constraint (identity without a mesh)."""
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -266,6 +277,34 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
     else:
         def constrain(b):
             return b
+    return constrain
+
+
+def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
+    """Compile-once epoch runner: (state, X, key) -> (state, metrics).
+
+    ``mesh``: optional jax.sharding.Mesh with a 'dp' axis; batches get a
+    sharding constraint over it so XLA partitions every step across devices.
+    """
+    return jax.jit(
+        _make_epoch_body(lr, hyperbolic, batch_size, _mesh_constrain(mesh)),
+        donate_argnums=(0,))
+
+
+def _make_epoch_body(lr, hyperbolic, batch_size, constrain, ragged=False):
+    """The un-jitted fused-epoch computation — shared by the sequential
+    trainer (build_epoch_fn jits it directly) and the fleet trainer
+    (train/fleet.py vmaps it over a stacked signal family).
+
+    Returns ``epoch(state, X, key)``, or ``epoch(state, X, key, n_real)``
+    when ``ragged``: X is then zero-padded to a common length and ``n_real``
+    (a traced int32 scalar) marks the real row count. Ragged mode masks the
+    shuffles to real rows and no-ops the scan steps past each signal's own
+    ``5 * (n_real // batch_size)`` critic / ``n_real // batch_size``
+    generator step counts, so every signal trains exactly its sequential
+    drop_last schedule (reference train.py:299-356).
+    """
+    opt_cx, opt_cz, opt_gen = make_optimizers(lr, hyperbolic)
 
     def joint_critic_loss(critics, gen, x, kx, kz, draws):
         # one vjp for both critics: the two losses share no parameters
@@ -283,10 +322,21 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
                            drop_masks=draws["m_cz"])
         return lx + lz, (lx, lz)
 
+    def _masked(valid, new, old):
+        # ragged no-op step: keep the pre-step carry (params, moments AND
+        # step counters) so a masked step is indistinguishable from never
+        # having run — each signal's optimizer trajectory exactly matches
+        # its own sequential drop_last schedule
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(valid, a, b), new, old)
+
     def make_critic_batch(X):
         def critic_batch(carry, inp):
             params, o_cx, o_cz = carry
-            idx, key, draws = inp
+            if ragged:
+                idx, key, draws, valid = inp
+            else:
+                idx, key, draws = inp
             x = constrain(X[idx])
             kx, kz = jax.random.split(key)
             gen = _gen_params(params)
@@ -295,34 +345,48 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
                 joint_critic_loss, has_aux=True)(
                 {"cx": params["critic_x"], "cz": params["critic_z"]},
                 gen, x, kx, kz, draws)
-            new_cx, o_cx = opt_cx.update(grads["cx"], o_cx,
-                                         params["critic_x"])
-            new_cz, o_cz = opt_cz.update(grads["cz"], o_cz,
-                                         params["critic_z"])
-            params = dict(params, critic_x=new_cx, critic_z=new_cz)
+            new_cx, new_o_cx = opt_cx.update(grads["cx"], o_cx,
+                                             params["critic_x"])
+            new_cz, new_o_cz = opt_cz.update(grads["cz"], o_cz,
+                                             params["critic_z"])
+            new_params = dict(params, critic_x=new_cx, critic_z=new_cz)
 
-            return (params, o_cx, o_cz), (lx, lz)
+            if ragged:
+                new_params, new_o_cx, new_o_cz = _masked(
+                    valid, (new_params, new_o_cx, new_o_cz),
+                    (params, o_cx, o_cz))
+                lx = jnp.where(valid, lx, 0.0)
+                lz = jnp.where(valid, lz, 0.0)
+            return (new_params, new_o_cx, new_o_cz), (lx, lz)
 
         return critic_batch
 
     def make_gen_batch(X):
         def gen_batch(carry, inp):
             params, o_gen = carry
-            idx, key, z, masks = inp
+            if ragged:
+                idx, key, z, masks, valid = inp
+            else:
+                idx, key, z, masks = inp
             x = constrain(X[idx])
             gen = _gen_params(params)
             (loss, rec), grads = jax.value_and_grad(
                 generator_loss, has_aux=True)(
                 gen, params["critic_x"], params["critic_z"], x, key,
                 hyperbolic, z=z, masks=masks)
-            new_gen, o_gen = opt_gen.update(grads, o_gen, gen)
-            params = dict(params, encoder=new_gen["encoder"],
-                          decoder=new_gen["decoder"])
-            return (params, o_gen), (loss, rec)
+            new_gen, new_o_gen = opt_gen.update(grads, o_gen, gen)
+            new_params = dict(params, encoder=new_gen["encoder"],
+                              decoder=new_gen["decoder"])
+            if ragged:
+                new_params, new_o_gen = _masked(
+                    valid, (new_params, new_o_gen), (params, o_gen))
+                loss = jnp.where(valid, loss, 0.0)
+                rec = jnp.where(valid, rec, 0.0)
+            return (new_params, new_o_gen), (loss, rec)
 
         return gen_batch
 
-    def epoch_fn(state: TrainState, X, key):
+    def epoch_fn(state: TrainState, X, key, n_real=None):
         n = X.shape[0]
         n_batches = n // batch_size
         keys = jax.random.split(key, 2 * N_CRITICS + 2)
@@ -330,10 +394,20 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
         # ---- 5 full critic passes, fresh shuffle each (train.py:315-331);
         # only int32 indices are staged — each step gathers its batch from
         # the resident X inside the scan
-        critic_idx = jnp.concatenate([
-            _shuffled_index(keys[i], n, n_batches, batch_size)
-            for i in range(N_CRITICS)
-        ])  # (5 * n_batches, B)
+        if ragged:
+            n_batches_real = n_real // batch_size
+            critic_idx = jnp.concatenate([
+                _masked_shuffled_index(keys[i], n, n_real, n_batches,
+                                       batch_size)
+                for i in range(N_CRITICS)
+            ])
+            pass_valid = jnp.arange(n_batches) < n_batches_real
+            critic_valid = jnp.tile(pass_valid, N_CRITICS)
+        else:
+            critic_idx = jnp.concatenate([
+                _shuffled_index(keys[i], n, n_batches, batch_size)
+                for i in range(N_CRITICS)
+            ])  # (5 * n_batches, B)
         S = critic_idx.shape[0]
         latent = state.params["decoder"]["dense1"]["w"].shape[1]
         cx_hidden = state.params["critic_x"]["dense1"]["w"].shape[0]
@@ -361,15 +435,22 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
                 kk[6], 1.0 - DEC_LSTM_DROPOUT, (S, 1, 1, batch_size, dec_width)),
         }
         step_keys = jax.random.split(kk[7], S)
+        critic_xs = (critic_idx, step_keys, draws)
+        if ragged:
+            critic_xs += (critic_valid,)
         (params_c, o_cx, o_cz), (lx, lz) = jax.lax.scan(
             make_critic_batch(X),
             (state.params, state.opt_cx, state.opt_cz),
-            (critic_idx, step_keys, draws),
+            critic_xs,
         )
 
         # ---- one generator pass (train.py:347-356)
-        gen_idx = _shuffled_index(keys[N_CRITICS + 1], n, n_batches,
-                                  batch_size)
+        if ragged:
+            gen_idx = _masked_shuffled_index(keys[N_CRITICS + 1], n, n_real,
+                                             n_batches, batch_size)
+        else:
+            gen_idx = _shuffled_index(keys[N_CRITICS + 1], n, n_batches,
+                                      batch_size)
         gk = jax.random.split(keys[-1], 6)
         gkeys = jax.random.split(gk[0], n_batches)
         gen_z = jax.random.normal(gk[1], (n_batches, batch_size, latent))
@@ -382,23 +463,34 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
             "m_dec": jax.random.bernoulli(
                 gk[4], 1.0 - DEC_LSTM_DROPOUT, (n_batches, 1, 1, 2 * batch_size, dec_width)),
         }
+        gen_xs = (gen_idx, gkeys, gen_z, gen_masks)
+        if ragged:
+            gen_xs += (pass_valid,)
         (params_g, o_gen), (lg, rec) = jax.lax.scan(
-            make_gen_batch(X), (params_c, state.opt_gen),
-            (gen_idx, gkeys, gen_z, gen_masks))
+            make_gen_batch(X), (params_c, state.opt_gen), gen_xs)
 
-        metrics = {
-            "critic_x_loss": jnp.mean(lx),
-            "critic_z_loss": jnp.mean(lz),
-            "decoder_loss": jnp.mean(lg),
-            "rec_loss": jnp.mean(rec),
-        }
+        if ragged:
+            # masked steps contributed exact zeros; average over REAL steps
+            denom_c = jnp.maximum(N_CRITICS * n_batches_real, 1)
+            denom_g = jnp.maximum(n_batches_real, 1)
+            metrics = {
+                "critic_x_loss": jnp.sum(lx) / denom_c,
+                "critic_z_loss": jnp.sum(lz) / denom_c,
+                "decoder_loss": jnp.sum(lg) / denom_g,
+                "rec_loss": jnp.sum(rec) / denom_g,
+            }
+        else:
+            metrics = {
+                "critic_x_loss": jnp.mean(lx),
+                "critic_z_loss": jnp.mean(lz),
+                "decoder_loss": jnp.mean(lg),
+                "rec_loss": jnp.mean(rec),
+            }
         new_state = TrainState(params=params_g, opt_cx=o_cx, opt_cz=o_cz,
                                opt_gen=o_gen, epoch=state.epoch + 1)
         return new_state, metrics
 
-    # donate the incoming state: params/moments are consumed and replaced
-    # every epoch, so XLA can update them in place instead of copying
-    return jax.jit(epoch_fn, donate_argnums=(0,))
+    return epoch_fn
 
 
 def build_multi_epoch_fn(lr, hyperbolic, batch_size, epochs_per_call,
