@@ -1,0 +1,255 @@
+"""Fleet trainer: train a whole family of signals in ONE XLA program.
+
+The reference trains a benchmark family (e.g. the 9 NAB signals of
+``data/anomalies.csv``, or a Yahoo A1-A4 sweep) by re-running ``train.py``
+once per signal (reference ``main.py:14-70`` driven per-config), paying the
+full process + compile + per-step dispatch cost S times. On TPU the fused
+epoch is kernel-LATENCY-bound, not FLOPs-bound (~114 kernels / ~25 us per
+critic step on v5e at ~100k params — see PROFILE.md), so S independent
+models fit in the same dispatch budget as one: ``jax.vmap`` over a stacked
+signal axis turns every (B, W) matmul into an (S, B, W) batched matmul at
+near-identical kernel latency.
+
+Design:
+  * The vmapped computation is the literal sequential trace
+    (``trainer._make_epoch_body``) — equal-length families run the same
+    per-signal program as ``train_tadgan`` with the same per-epoch keys, so
+    each signal's parameter trajectory matches the sequential trainer's
+    (asserted in tests/test_fleet.py).
+  * Ragged families (signals of different lengths) are zero-padded to a
+    common length and trained in ``ragged`` mode: shuffles are masked to
+    each signal's real rows and steps past a signal's own
+    ``5 * (n_real // B)`` critic / ``n_real // B`` generator drop_last
+    schedule are no-ops (pre-step carry kept), so every signal still trains
+    exactly its sequential schedule — with a different (but distributionally
+    identical) shuffle stream; see ``trainer._masked_shuffled_index``.
+  * Multi-chip: the SIGNAL axis is sharded over the mesh's ``dp`` axis —
+    embarrassingly parallel (zero collectives ride the ICI; each device
+    trains its shard of the fleet). Fleets are padded with ``n_real = 0``
+    dummy signals to a device-count multiple; a dummy's every step is
+    masked, so its state is returned bit-unchanged.
+
+Replaces: per-signal re-invocation of reference ``train.py:299-356`` over a
+family sweep (no reference equivalent exists — the reference has no
+multi-signal batching at all).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypad_tpu.train.trainer import (
+    TrainState,
+    _make_epoch_body,
+    init_train_state,
+)
+
+
+# ---------------------------------------------------------------------------
+# stacking helpers
+# ---------------------------------------------------------------------------
+
+def stack_states(states):
+    """Stack S per-signal TrainStates into one leading-axis-S TrainState."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def unstack_state(stacked, i):
+    """Slice signal ``i``'s TrainState out of a stacked fleet state."""
+    return jax.tree_util.tree_map(lambda x: x[i], stacked)
+
+
+def init_fleet_state(params_list, lr, hyperbolic):
+    """Per-signal ``init_train_state`` then stack (host-side; transfer the
+    finished stacked pytree in one device_put like the CLI does)."""
+    return stack_states([init_train_state(p, lr, hyperbolic)
+                         for p in params_list])
+
+
+def pad_and_stack(X_list, pad_value=0.0):
+    """Zero-pad (N_i, W) window arrays to max N and stack -> ((S, N, W),
+    n_real (S,) int32). Pad contents are never read by a valid step (the
+    masked shuffle keeps pad rows out of real batch positions)."""
+    n_max = max(x.shape[0] for x in X_list)
+    w = X_list[0].shape[1]
+    out = np.full((len(X_list), n_max, w), pad_value, np.float32)
+    n_real = np.zeros((len(X_list),), np.int32)
+    for i, x in enumerate(X_list):
+        out[i, : x.shape[0]] = x
+        n_real[i] = x.shape[0]
+    return out, n_real
+
+
+# ---------------------------------------------------------------------------
+# fleet epoch programs
+# ---------------------------------------------------------------------------
+
+def _fleet_constrain(mesh):
+    """Shard the leading SIGNAL axis of every leaf over the dp mesh axis."""
+    if mesh is None:
+        return lambda tree: tree
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def constrain(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("dp"))), tree)
+
+    return constrain
+
+
+def build_fleet_epoch_fn(lr, hyperbolic, batch_size, ragged=False,
+                         mesh=None):
+    """Compile-once fleet epoch: (states, Xs, keys[, n_real]) -> (states,
+    metrics), everything carrying a leading signal axis S.
+
+    ``keys``: (S, 2) uint32 — identical rows reproduce the sequential
+    trainer's same-seed-per-signal semantics. ``metrics`` values are (S,).
+    """
+    body = _make_epoch_body(lr, hyperbolic, batch_size,
+                            constrain=lambda b: b, ragged=ragged)
+    vmapped = jax.vmap(body)
+    constrain = _fleet_constrain(mesh)
+
+    if ragged:
+        def fleet_fn(states, Xs, keys, n_real):
+            states, Xs = constrain(states), constrain(Xs)
+            return vmapped(states, Xs, keys, n_real)
+    else:
+        def fleet_fn(states, Xs, keys):
+            states, Xs = constrain(states), constrain(Xs)
+            return vmapped(states, Xs, keys)
+
+    return jax.jit(fleet_fn, donate_argnums=(0,))
+
+
+def build_fleet_multi_epoch_fn(lr, hyperbolic, batch_size, epochs_per_call,
+                               ragged=False, mesh=None):
+    """Fuse ``epochs_per_call`` fleet epochs into one device program
+    (same host-round-trip amortization as ``build_multi_epoch_fn``)."""
+    single = build_fleet_epoch_fn(lr, hyperbolic, batch_size, ragged=ragged,
+                                  mesh=mesh)
+
+    if ragged:
+        def multi(states, Xs, key, n_real):
+            def step(st, k):
+                ks = jnp.broadcast_to(k, (Xs.shape[0],) + k.shape)
+                return single(st, Xs, ks, n_real)
+
+            keys = jax.random.split(key, epochs_per_call)
+            return jax.lax.scan(step, states, keys)
+    else:
+        def multi(states, Xs, key):
+            def step(st, k):
+                ks = jnp.broadcast_to(k, (Xs.shape[0],) + k.shape)
+                return single(st, Xs, ks)
+
+            keys = jax.random.split(key, epochs_per_call)
+            return jax.lax.scan(step, states, keys)
+
+    return jax.jit(multi, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# training driver
+# ---------------------------------------------------------------------------
+
+def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
+                seed=0, mesh=None, checkpoint_cb=None, log_cb=None,
+                start_epoch=0, epochs_per_call=10, ragged=None):
+    """Train S signals' models jointly in fused fleet programs.
+
+    ``states``: stacked TrainState (leading axis S, see ``stack_states``).
+    ``X_list``: list of S (N_i, W) float32 window arrays. Equal-length
+    families run the exact sequential trace per signal; ragged ones the
+    masked schedule. The per-chunk key schedule (``fold_in(key, epoch)``,
+    chunks broken at the 10-epoch checkpoint cadence) mirrors
+    ``train_tadgan`` so equal-length fleets are key-for-key identical to S
+    sequential runs. ``checkpoint_cb(epoch, stacked_state)`` /
+    ``log_cb(epoch, metrics)`` with (S,) metric arrays.
+
+    Returns the final stacked state (dummy pad signals, if the mesh forced
+    padding, are the caller's to ignore via ``unstack_state``).
+
+    ``ragged``: None picks the mode automatically (ragged iff lengths
+    differ or the mesh forces dummy padding); True forces the ragged
+    stream on an equal-length fleet — the shuffle RNG stream differs
+    between modes, so like-for-like comparisons must pin it.
+    """
+    lens = {x.shape[0] for x in X_list}
+    S = len(X_list)
+    n_pad = 0
+    if mesh is not None:
+        ndev = int(mesh.devices.size)
+        n_pad = (-S) % ndev
+    need_ragged = len(lens) > 1 or n_pad > 0
+    if ragged is None:
+        ragged = need_ragged
+    elif need_ragged and not ragged:
+        raise ValueError("mixed-length or mesh-padded fleets require "
+                         "ragged mode")
+
+    if ragged:
+        Xs, n_real = pad_and_stack(list(X_list) + [
+            np.zeros((1, X_list[0].shape[1]), np.float32)] * n_pad)
+        n_real[S:] = 0  # mesh-pad dummies never take a step
+        if n_pad:
+            states = stack_states(
+                [unstack_state(states, i) for i in range(S)]
+                + [unstack_state(states, S - 1)] * n_pad)
+        n_real = jnp.asarray(n_real)
+    else:
+        Xs = jnp.asarray(np.stack(X_list), jnp.float32)
+        n_real = None
+    Xs = jnp.asarray(Xs, jnp.float32)
+
+    base_key = jax.random.PRNGKey(seed)
+
+    # chunk boundaries: identical to train_tadgan's (checkpoint cadence)
+    actual_epoch = start_epoch
+    boundaries = []
+    e = start_epoch
+    while e < n_epochs:
+        nxt = min(((e // 10) + 1) * 10, n_epochs)
+        if e < n_epochs - 1 < nxt:
+            nxt = n_epochs - 1
+        nxt = min(nxt, e + max(epochs_per_call, 1))
+        boundaries.append(nxt - e)
+        e = nxt
+
+    fns = {}
+
+    def get_fn(n):
+        if n not in fns:
+            if n == 1:
+                fns[n] = build_fleet_epoch_fn(
+                    lr, hyperbolic, batch_size, ragged=ragged, mesh=mesh)
+            else:
+                fns[n] = build_fleet_multi_epoch_fn(
+                    lr, hyperbolic, batch_size, n, ragged=ragged, mesh=mesh)
+        return fns[n]
+
+    S_total = Xs.shape[0]
+    for chunk in boundaries:
+        key = jax.random.fold_in(base_key, actual_epoch)
+        if chunk == 1:
+            keys = jnp.broadcast_to(key, (S_total,) + key.shape)
+            args = (states, Xs, keys) + ((n_real,) if ragged else ())
+            states, metrics = get_fn(1)(*args)
+            stacked = jax.tree_util.tree_map(lambda v: v[None], metrics)
+        else:
+            args = (states, Xs, key) + ((n_real,) if ragged else ())
+            states, stacked = get_fn(chunk)(*args)
+        if log_cb is not None:
+            host = jax.device_get(stacked)
+            for j in range(chunk):
+                log_cb(actual_epoch + j + 1,
+                       {k: v[j] for k, v in host.items()})
+        actual_epoch += chunk
+        if checkpoint_cb is not None and (
+            actual_epoch % 10 == 0 or actual_epoch == n_epochs - 1
+        ):
+            checkpoint_cb(actual_epoch, states)
+    return states
