@@ -9,6 +9,11 @@ Mirrors the reference surface:
     ``resume_epoch`` to score a specific epoch's checkpoint)
   * invoking without a subcommand behaves like ``train`` (the reference's
     single-entry style).
+  * ``python -m hypad_tpu.cli sweep --config cfg.yaml [--signals a,b,c]``
+    — capability extension with no reference equivalent: trains a whole
+    signal family in ONE vmapped fleet program (train/fleet.py), then runs
+    per-signal detection into the same run dirs the per-signal ``train``
+    would use.
 """
 
 from __future__ import annotations
@@ -137,6 +142,105 @@ def _run_detection(params, model_params, test_data, path, read_path,
     return result
 
 
+def cmd_sweep(params, config_path, signals=None):
+    """Train + detect a whole signal family in ONE fused fleet program.
+
+    Capability extension over the reference (which re-runs ``train.py`` per
+    signal, main.py:14-70): all signals' models train together in a single
+    vmapped XLA program (train/fleet.py), then each signal runs the
+    standard detection path into its own run dir — checkpoints, results
+    CSV rows, and artifacts land exactly where per-signal ``train`` runs
+    would put them, so ``detect``/resume re-enter unchanged per signal.
+
+    Signals come from a ``signals: [...]`` list in the config or the
+    ``--signals a,b,c`` flag.
+    """
+    import argparse as ap
+    import copy
+
+    import numpy as np
+
+    from hypad_tpu.parallel.mesh import make_mesh
+    from hypad_tpu.train import fleet as fl
+    from hypad_tpu.utils import checkpoint as ck
+    from hypad_tpu.utils.profiling import stage
+
+    signals = signals or getattr(params, "signals", None)
+    if not signals:
+        raise SystemExit("sweep needs a `signals:` list in the config "
+                         "or --signals a,b,c")
+
+    per = []
+    for s in signals:
+        p = ap.Namespace(**copy.deepcopy(vars(params)))
+        p.signal = s
+        train_data, test_data, read_path, path = _build(p)
+        ck.snapshot_config(path, config_path)
+        per.append((p, train_data, test_data, read_path, path))
+
+    mesh = make_mesh(params.devices)
+    with jax.default_device(jax.devices("cpu")[0]):
+        fstate = fl.init_fleet_state([_init_models(p) for (p, *_) in per],
+                                     lr=params.lr,
+                                     hyperbolic=params.hyperbolic)
+    fstate = jax.device_put(fstate, jax.devices()[0])
+
+    X_list = [np.asarray(td.X, np.float32) for (_, td, *_) in per]
+
+    import json
+
+    log_path = os.path.join(per[0][4], "sweep_log.jsonl")
+
+    def log_cb(epoch, metrics):
+        row = {"epoch": int(epoch),
+               **{k: [float(x) for x in np.asarray(v)[: len(signals)]]
+                  for k, v in metrics.items()}}
+        with open(log_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        mean = {k: float(np.mean(v)) for k, v in row.items()
+                if k != "epoch"}
+        print(f"[sweep] epoch {epoch}: "
+              f"critic x {mean['critic_x_loss']:.3f} "
+              f"critic z {mean['critic_z_loss']:.3f} "
+              f"decoder {mean['decoder_loss']:.3f} "
+              f"rec {mean['rec_loss']:.6f} (mean of {len(signals)})")
+
+    def ckpt_cb(epoch, stacked):
+        host = jax.device_get(stacked)
+        for i, (_, _, _, _, path) in enumerate(per):
+            ck.save_state(path, fl.unstack_state(host, i), epoch)
+
+    t0 = time.time()
+    with stage("sweep_train"):
+        fstate = fl.train_fleet(
+            fstate, X_list, lr=params.lr, hyperbolic=params.hyperbolic,
+            batch_size=params.batch_size, n_epochs=params.epochs,
+            seed=params.seed, mesh=mesh, log_cb=log_cb,
+            checkpoint_cb=ckpt_cb)
+    wall = time.time() - t0
+    print(f"sweep training wall-clock: {wall:.2f}s for {len(signals)} "
+          f"signals x {params.epochs} epochs "
+          f"({wall / max(params.epochs, 1):.3f}s/fleet-epoch, "
+          f"{wall / max(params.epochs * len(signals), 1):.4f}"
+          f"s/signal-epoch)")
+
+    host_state = jax.device_get(fstate)
+    results = []
+    for i, (p, train_data, test_data, read_path, path) in enumerate(per):
+        st_i = fl.unstack_state(host_state, i)
+        ck.save_state(path, st_i, "final")
+        print(f"--- {p.signal} ---")
+        res = _run_detection(p, st_i.params, test_data, path, read_path,
+                             mesh=mesh)
+        m = res["metrics"]
+        results.append((p.signal, m["f1"] if m else None))
+    scored = [f for _, f in results if f is not None]
+    if scored:
+        print(f"sweep mean f1 over {len(scored)}/{len(results)} signals: "
+              f"{float(np.mean(scored)):.4f}")
+    return results
+
+
 def cmd_detect(params, config_path):
     from hypad_tpu.parallel.mesh import make_mesh
     from hypad_tpu.utils import checkpoint as ck
@@ -160,13 +264,16 @@ def cmd_detect(params, config_path):
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     command = "train"
-    if argv and argv[0] in ("train", "detect"):
+    if argv and argv[0] in ("train", "detect", "sweep"):
         command = argv.pop(0)
 
     parser = argparse.ArgumentParser(description="HypAD-TPU")
     parser.add_argument("-c", "--config", type=str, required=True)
     parser.add_argument("--profile", action="store_true",
                         help="print per-stage wall-clock report at exit")
+    parser.add_argument("--signals", type=str, default=None,
+                        help="comma-separated signal list for `sweep` "
+                             "(overrides the config's `signals:`)")
     args = parser.parse_args(argv)
 
     from hypad_tpu.utils.config import load_config
@@ -177,6 +284,10 @@ def main(argv=None):
 
     if command == "train":
         cmd_train(params, args.config)
+    elif command == "sweep":
+        cmd_sweep(params, args.config,
+                  signals=(args.signals.split(",") if args.signals
+                           else None))
     else:
         cmd_detect(params, args.config)
 

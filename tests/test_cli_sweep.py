@@ -1,0 +1,75 @@
+"""CLI `sweep` subcommand e2e: a 2-signal NAB family through
+config -> fleet training -> per-signal detection -> results CSV.
+
+Fleet==sequential numerics are covered in test_fleet.py; this drives the
+full user surface (the capability the reference covers by re-running
+main.py per signal, main.py:14-70)."""
+
+import os
+
+import yaml
+
+NAB_DATA = "/root/reference/data"
+
+
+def test_sweep_cli_two_signal_nab(tmp_path, capsys):
+    from hypad_tpu import cli
+
+    cfg = {
+        "dataset": "NAB", "signal": "Twitter_volume_AAPL", "epochs": 1,
+        "hyperbolic": False, "signal_shape": 100, "batch_size": 64,
+        "lr": 5e-4, "rec_error": "point", "combination": "mult",
+        "unique_dataset": True, "save_result": True,
+        "filename": "nab_results.csv",
+        "data_root": NAB_DATA, "output_root": str(tmp_path), "devices": 1,
+        "signals": ["Twitter_volume_AAPL", "Twitter_volume_AMZN"],
+    }
+    cfg_path = tmp_path / "nab_sweep.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    cli.main(["sweep", "--config", str(cfg_path)])
+
+    out = capsys.readouterr().out
+    assert "sweep training wall-clock" in out
+    assert "--- Twitter_volume_AAPL ---" in out
+    assert "--- Twitter_volume_AMZN ---" in out
+
+    base = (tmp_path / "trained_models" / "models_eucl_NAB_1_0.0005"
+            / "NAB")
+    for sig in cfg["signals"]:
+        run_dir = base / sig
+        assert (run_dir / "state_final").exists()   # per-signal checkpoint
+        assert (run_dir / "config.yaml").exists()   # snapshot
+        assert (run_dir / "anomalies.csv").exists()  # detector artifact
+    assert (base / cfg["signals"][0] / "sweep_log.jsonl").exists()
+
+    # one cumulative results row per signal (reference results CSV shape)
+    import pandas as pd
+
+    res = pd.read_csv(tmp_path / "results" / "nab_results.csv")
+    assert list(res["signal"]) == cfg["signals"]
+
+
+def test_sweep_signals_flag_overrides_config(tmp_path, capsys):
+    """--signals wins over the config list (argv surface)."""
+    from hypad_tpu import cli
+
+    cfg = {
+        "dataset": "NAB", "signal": "Twitter_volume_AAPL", "epochs": 0,
+        "hyperbolic": False, "signal_shape": 100, "batch_size": 64,
+        "lr": 5e-4, "rec_error": "point", "combination": "mult",
+        "unique_dataset": True,
+        "data_root": NAB_DATA, "output_root": str(tmp_path), "devices": 1,
+        "signals": ["Twitter_volume_AAPL", "Twitter_volume_AMZN"],
+    }
+    cfg_path = tmp_path / "nab_sweep.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    cli.main(["sweep", "--config", str(cfg_path),
+              "--signals", "Twitter_volume_AAPL"])
+    out = capsys.readouterr().out
+    assert "--- Twitter_volume_AAPL ---" in out
+    assert "--- Twitter_volume_AMZN ---" not in out
+    assert os.path.isdir(tmp_path / "trained_models" /
+                         "models_eucl_NAB_0_0.0005" / "NAB" /
+                         "Twitter_volume_AAPL")
