@@ -15,6 +15,10 @@ extras (all measured in the same run, full-framework coverage):
              Twitter_volume_AAPL vs the 0.542 s reference baseline
   smap_epoch_s / smap_vs_baseline — HypAD epoch on the SMAP A-1 train split
              (2780 windows) vs the 11.4 s reference baseline
+  fleet9_* — 9 hyperbolic models trained in ONE vmapped fleet program
+             (train/fleet.py, `hypad sweep`): per-fleet-epoch and
+             per-signal-epoch seconds, speedup vs 9 sequential fused
+             epochs, and vs 9 reference (PyTorch-CPU) processes
   mv_one_call_rows_per_s — multivariate one-call detection throughput
              (50k x 51 SWAT-shaped rows, hyperbolic mult, scores-only);
              the _resident_ variant is the wired CLI path (rows staged on
@@ -183,6 +187,32 @@ def main():
     _, _, eucl_epoch_s = _train_bench(False, nab_csv, False, 21600, mesh,
                                       batch)
 
+    # ---- fleet: 9 hyperbolic models trained in ONE vmapped program
+    # (train/fleet.py) on the same A1-sized windows; signal-epoch cost and
+    # family-sweep speedup vs 9 sequential fused epochs
+    from hypad_tpu.models.tadgan import init_tadgan as _init
+    from hypad_tpu.train import fleet as fl
+
+    S = 9
+    with jax.default_device(jax.devices("cpu")[0]):
+        fstate = fl.init_fleet_state(
+            [_init(jax.random.PRNGKey(i), signal_shape=100, hyperbolic=True)
+             for i in range(S)], lr=5e-4, hyperbolic=True)
+    fstate = jax.device_put(fstate, dev0)
+    Xs = jax.device_put(jnp.broadcast_to(
+        jnp.asarray(data.X, jnp.float32),
+        (S,) + data.X.shape).copy(), dev0)
+    fleet_multi = fl.build_fleet_multi_epoch_fn(5e-4, True, batch,
+                                                N_TIMED_EPOCHS)
+    fkey = jax.random.PRNGKey(5)
+    fstate, fm = fleet_multi(fstate, Xs, jax.random.fold_in(fkey, 1000))
+    float(jnp.sum(fm["decoder_loss"][-1]))
+    t0 = time.time()
+    fstate, fm = fleet_multi(fstate, Xs, jax.random.fold_in(fkey, 0))
+    float(jnp.sum(fm["decoder_loss"][-1]))
+    fleet_epoch_s = (time.time() - t0) / N_TIMED_EPOCHS
+    del fstate, Xs
+
     # ---- scoring throughput, hyperbolic pipeline (mesh-sharded when >1 dev)
     inf = sc.run_inference(state.params, data.X, True, mesh=mesh)
     hyper_wps = _throughput(
@@ -273,6 +303,12 @@ def main():
             "smap_epoch_s": round(smap_epoch_s, 4),
             "smap_vs_baseline": round(REF_SMAP_EPOCH_SECONDS / smap_epoch_s,
                                       2),
+            "fleet9_epoch_s": round(fleet_epoch_s, 4),
+            "fleet9_signal_epoch_s": round(fleet_epoch_s / 9, 5),
+            "fleet9_speedup_vs_sequential": round(
+                epoch_s * 9 / fleet_epoch_s, 2),
+            "fleet9_vs_baseline": round(
+                REF_EPOCH_SECONDS * 9 / fleet_epoch_s, 2),
             "mv_one_call_rows_per_s": round(mv_rows_per_s),
             "mv_one_call_resident_rows_per_s": round(mv_resident_rows_per_s),
             "hyper_scoring_wps": round(hyper_wps),
