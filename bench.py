@@ -35,6 +35,10 @@ extras (all measured in the same run, full-framework coverage):
              the tunneled backend; pre-round-3 CLI behavior)
   detect_20k_wps — the wired one-call program at 20k windows (the PARITY
              warm-path-anatomy regime)
+  fleet9_detect_* — 9 ragged signals' detection (forward + full scoring)
+             in ONE vmapped fleet program (`hypad sweep`'s detection path,
+             detect/scorer.detect_scores_fleet), incl. per-call pad+upload;
+             speedup vs 9 sequential one-call detections and vs reference
   pallas_ok / pallas_kde_tie_flips / pallas_mobius_maxdiff — on-chip
              equivalence of the hand-tiled Mosaic kernels vs their jnp
              references, re-proven on every bench run. mobius_linear_fused
@@ -245,6 +249,21 @@ def main():
         rng.uniform(-1, 1, (20_000, 100)).astype(np.float32)), dev0)
     detect_20k_wps = _throughput(lambda: detect(X20), len(X20))
 
+    # ---- fleet detection: 9 signals' forward + FULL scoring in ONE
+    # vmapped program (detect/scorer.detect_scores_fleet — the `sweep`
+    # subcommand's detection path). Deliberately ragged (A1 size minus
+    # 0..8 windows) so the measured program is the real padded/masked one;
+    # timing includes the host pad_and_stack + window upload every call,
+    # exactly what `hypad sweep` pays.
+    fleet_X = [np.asarray(data.X[: len(data.X) - i], np.float32)
+               for i in range(9)]
+    fd_params = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * 9), state.params)
+    fleet_detect_wps = _throughput(
+        lambda: sc.detect_scores_fleet(fd_params, fleet_X, True,
+                                       "uncertainty")[-1],
+        sum(len(x) for x in fleet_X))
+
     # ---- SMAP A-1 hyperbolic epoch (separate train split, 2780 windows —
     # the second PARITY headline; driver-reproducible per VERDICT r2 item 4)
     smap_csv = os.path.join(data_root, "A-1-train.csv")
@@ -287,6 +306,7 @@ def main():
         f"detect_e2e={detect_e2e_wps:.0f}w/s "
         f"detect_upload={detect_upload_wps:.0f}w/s "
         f"detect_20k={detect_20k_wps:.0f}w/s "
+        f"fleet9_detect={fleet_detect_wps:.0f}w/s "
         f"eucl_dtw_scoring={eucl_wps:.0f}w/s pallas_ok={pallas_ok} "
         f"(kde_tie_flips={kde_flips}, mobius_maxdiff={ml_maxdiff})",
         file=sys.stderr,
@@ -317,6 +337,11 @@ def main():
                                             2),
             "detect_e2e_upload_wps": round(detect_upload_wps),
             "detect_20k_wps": round(detect_20k_wps),
+            "fleet9_detect_wps": round(fleet_detect_wps),
+            "fleet9_detect_speedup_vs_sequential": round(
+                fleet_detect_wps / detect_e2e_wps, 2),
+            "fleet9_detect_vs_baseline": round(
+                fleet_detect_wps / REF_DETECT_WPS, 2),
             "eucl_dtw_scoring_wps": round(eucl_wps),
             "ref_scoring_wps": REF_DETECT_WPS,
             "pallas_ok": pallas_ok,

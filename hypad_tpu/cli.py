@@ -11,8 +11,9 @@ Mirrors the reference surface:
     single-entry style).
   * ``python -m hypad_tpu.cli sweep --config cfg.yaml [--signals a,b,c]``
     — capability extension with no reference equivalent: trains a whole
-    signal family in ONE vmapped fleet program (train/fleet.py), then runs
-    per-signal detection into the same run dirs the per-signal ``train``
+    signal family in ONE vmapped fleet program (train/fleet.py), scores it
+    in ONE vmapped fleet detection program (detect/scorer), and writes
+    per-signal results into the same run dirs the per-signal ``train``
     would use.
 """
 
@@ -124,7 +125,7 @@ def cmd_train(params, config_path):
 
 
 def _run_detection(params, model_params, test_data, path, read_path,
-                   mesh=None):
+                   mesh=None, precomputed_scores=None):
     from hypad_tpu.detect.detector import detect
     from hypad_tpu.utils.profiling import stage
 
@@ -132,7 +133,8 @@ def _run_detection(params, model_params, test_data, path, read_path,
     with stage("detect"):
         result = detect(params, model_params, test_data, path,
                         read_path=read_path, mesh=mesh,
-                        save_plots=getattr(params, "save_plots", None))
+                        save_plots=getattr(params, "save_plots", None),
+                        precomputed_scores=precomputed_scores)
     wall = time.time() - t0
     n_windows = len(test_data.X)
     print(f"detection wall-clock: {wall:.2f}s "
@@ -147,10 +149,14 @@ def cmd_sweep(params, config_path, signals=None):
 
     Capability extension over the reference (which re-runs ``train.py`` per
     signal, main.py:14-70): all signals' models train together in a single
-    vmapped XLA program (train/fleet.py), then each signal runs the
-    standard detection path into its own run dir — checkpoints, results
-    CSV rows, and artifacts land exactly where per-signal ``train`` runs
-    would put them, so ``detect``/resume re-enter unchanged per signal.
+    vmapped XLA program (train/fleet.py), and detection likewise runs as
+    ONE vmapped fleet program (detect/scorer.detect_scores_fleet) before
+    each signal's host epilogue (intervals, metrics, results CSV) lands in
+    its own run dir — checkpoints, config snapshots, and results CSV rows
+    go exactly where per-signal ``train`` runs would put them, so
+    ``detect``/resume re-enter unchanged per signal. Sweep detection is
+    scores-only (no inference-artifact persistence); ``load: true`` configs
+    fall back to the per-signal cached path.
 
     Signals come from a ``signals: [...]`` list in the config or the
     ``--signals a,b,c`` flag.
@@ -225,13 +231,33 @@ def cmd_sweep(params, config_path, signals=None):
           f"s/signal-epoch)")
 
     host_state = jax.device_get(fstate)
+
+    # detection side of the fleet: every signal's forward + scoring in ONE
+    # vmapped program (scorer.detect_scores_fleet) instead of S per-shape
+    # compiles — on the tunneled backend each novel shape costs ~40-200 s
+    # of remote compile, so this is the difference between one compile and
+    # one per signal. Sweep mode is scores-only: inference artifacts are
+    # not persisted (run `detect` per signal for artifact caching).
+    fleet_scores = [None] * len(per)
+    if not params.load:
+        from hypad_tpu.detect.scorer import detect_scores_fleet
+
+        stacked_params = jax.tree_util.tree_map(
+            lambda x: x[: len(per)], fstate.params)
+        with stage("sweep_detect_device"):
+            fleet_scores = detect_scores_fleet(
+                stacked_params,
+                [np.asarray(td.X, np.float32) for (_, _, td, *_) in per],
+                params.hyperbolic, params.combination,
+                rec_error=params.rec_error, mesh=mesh)
+
     results = []
     for i, (p, train_data, test_data, read_path, path) in enumerate(per):
         st_i = fl.unstack_state(host_state, i)
         ck.save_state(path, st_i, "final")
         print(f"--- {p.signal} ---")
         res = _run_detection(p, st_i.params, test_data, path, read_path,
-                             mesh=mesh)
+                             mesh=mesh, precomputed_scores=fleet_scores[i])
         m = res["metrics"]
         results.append((p.signal, m["f1"] if m else None))
     scored = [f for _, f in results if f is not None]

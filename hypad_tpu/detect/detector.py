@@ -31,7 +31,8 @@ from hypad_tpu.utils import artifacts
 
 
 def detect(params, state_params, test_data, run_path, read_path="",
-           known_anomalies=None, save_plots=None, mesh=None):
+           known_anomalies=None, save_plots=None, mesh=None,
+           precomputed_scores=None):
     """Full detection pass. Returns a result dict with scores, intervals and
     metrics (None metrics when no ground truth / no predictions).
 
@@ -43,7 +44,13 @@ def detect(params, state_params, test_data, run_path, read_path="",
     ``save_plots``: None = reference behavior (anomaly overlay plot saved
     for multivariate runs, utils/anomaly_detection_utils.py:220; none for
     univariate); True/False overrides either way (``save_plots`` config
-    key)."""
+    key).
+
+    ``precomputed_scores``: final per-signal scores computed elsewhere
+    (the fleet detector, scorer.detect_scores_fleet) — the device compute
+    is skipped entirely and only the host epilogue (intervals, metrics,
+    CSV, plots) runs. Univariate only; mutually exclusive with
+    ``params.load`` artifact reuse and artifact persistence."""
     os.makedirs(run_path, exist_ok=True)
 
     # multivariate dispatch: the reference keys on signal == 'multivariate'
@@ -70,6 +77,17 @@ def detect(params, state_params, test_data, run_path, read_path="",
     # Fresh runs take the ONE-CALL path: forward + full scoring in a single
     # device program (scorer.detect_scores), univariate and multivariate
     # alike. Cached re-runs use the staged functions on the stored tensors.
+    if precomputed_scores is not None:
+        assert not is_mv, "fleet scores are univariate-only"
+        final_scores = np.asarray(precomputed_scores)
+        intervals = iv.find_anomalies(
+            final_scores.reshape(-1), np.asarray(test_data.index),
+            window_size_portion=0.33, window_step_size_portion=0.1,
+            fixed_threshold=True)
+        return _host_epilogue(params, final_scores, intervals,
+                              known_anomalies, run_path, save_plots, is_mv,
+                              np.asarray(test_data.index))
+
     one_call_scores = None
     save_artifacts = getattr(params, "save_artifacts", True) or params.load
     cached = artifacts.load_inference(run_path) if params.load else None
@@ -146,7 +164,17 @@ def detect(params, state_params, test_data, run_path, read_path="",
             window_size_portion=0.33, window_step_size_portion=0.1,
             fixed_threshold=True)
 
-    # ---- metrics (reference wraps in try/except: empty predictions -> zeros)
+    return _host_epilogue(params, final_scores, intervals, known_anomalies,
+                          run_path, save_plots, is_mv, true_index)
+
+
+def _host_epilogue(params, final_scores, intervals, known_anomalies,
+                   run_path, save_plots, is_mv, true_index):
+    """Metrics + reports tail shared by the device path and the fleet
+    (precomputed-scores) path.
+
+    Reference wraps the confusion matrix in try/except: empty predictions
+    -> zeros."""
     result = {
         "scores": np.asarray(final_scores),
         "intervals": intervals,

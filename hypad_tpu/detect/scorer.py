@@ -141,7 +141,7 @@ def run_inference(params, X, hyperbolic, batch_size=1024,
 # critic-score pipeline
 # ---------------------------------------------------------------------------
 
-def _critic_antidiag(critic, n_windows, width):
+def _critic_antidiag(critic, n_windows, width, n_real=None):
     """(N,) critic values -> (T, width) anti-diagonal matrix + mask, where
     entry (i, j) = critic[i - j] (the reference repeats each window's critic
     value across the window before unrolling, :372-379). Broadcasting the
@@ -151,7 +151,7 @@ def _critic_antidiag(critic, n_windows, width):
     from hypad_tpu.ops.unroll import antidiagonal_gather
 
     return antidiagonal_gather(
-        jnp.broadcast_to(critic[:, None], (n_windows, width)))
+        jnp.broadcast_to(critic[:, None], (n_windows, width)), n_real=n_real)
 
 
 def _use_pallas_kde():
@@ -167,12 +167,17 @@ def _use_pallas_kde():
     return os.environ.get("HYPAD_KDE_PALLAS") == "1"
 
 
-def _critic_scores_core(critic, width, smooth_window, use_pallas, mesh):
+def _critic_scores_core(critic, width, smooth_window, use_pallas, mesh,
+                        n_real=None):
     """Traced body of the critic pipeline (shared by the standalone jit and
-    the fused hyperbolic scorer)."""
+    the fused hyperbolic scorer).
+
+    ``n_real``: optional traced real-window count for the padded fleet path
+    (detect_scores_fleet) — quantile/std/rolling reductions then run over
+    the real prefix only; ``smooth_window`` arrives traced in that mode."""
     n = critic.shape[0]
     constrain = _row_constraint(mesh)
-    vals, mask = _critic_antidiag(critic, n, width)
+    vals, mask = _critic_antidiag(critic, n, width, n_real=n_real)
     # shard the (T, width) anti-diagonal rows: each device KDE-fits its slab
     vals, mask = constrain(vals), constrain(mask)
     if use_pallas and mesh is not None:
@@ -188,14 +193,33 @@ def _critic_scores_core(critic, width, smooth_window, use_pallas, mesh):
     else:
         kde_max = kde_argmax_rows(vals, mask)
     # _compute_critic_score (:307-333)
-    lq = jnp.quantile(kde_max, 0.25)
-    uq = jnp.quantile(kde_max, 0.75)
-    in_range = (kde_max >= lq) & (kde_max <= uq)
+    if n_real is None:
+        lq = jnp.quantile(kde_max, 0.25)
+        uq = jnp.quantile(kde_max, 0.75)
+        in_range = (kde_max >= lq) & (kde_max <= uq)
+        mean = jnp.sum(jnp.where(in_range, kde_max, 0.0)) / jnp.sum(in_range)
+        std = jnp.std(kde_max)
+        z = constrain(jnp.abs((kde_max - mean) / std) + 1.0)
+        return rolling_mean_centered(z, smooth_window,
+                                     max(smooth_window // 2, 1))
+    from hypad_tpu.ops.rolling import (
+        masked_quantile,
+        rolling_mean_centered_ragged,
+    )
+
+    t_real = n_real + width - 1
+    rv = jnp.arange(kde_max.shape[0]) < t_real
+    lq = masked_quantile(kde_max, rv, 0.25)
+    uq = masked_quantile(kde_max, rv, 0.75)
+    in_range = rv & (kde_max >= lq) & (kde_max <= uq)
     mean = jnp.sum(jnp.where(in_range, kde_max, 0.0)) / jnp.sum(in_range)
-    std = jnp.std(kde_max)
-    z = constrain(jnp.abs((kde_max - mean) / std) + 1.0)
-    return rolling_mean_centered(z, smooth_window,
-                                 max(smooth_window // 2, 1))
+    cnt = jnp.sum(rv).astype(kde_max.dtype)
+    m_all = jnp.sum(jnp.where(rv, kde_max, 0.0)) / cnt
+    std = jnp.sqrt(
+        jnp.sum(jnp.where(rv, (kde_max - m_all) ** 2, 0.0)) / cnt)
+    z = jnp.abs((kde_max - mean) / std) + 1.0
+    return rolling_mean_centered_ragged(z, smooth_window, t_real,
+                                        jnp.maximum(smooth_window // 2, 1))
 
 
 @functools.partial(jax.jit, static_argnames=("width", "smooth_window",
@@ -227,25 +251,67 @@ def final_critic_scores(critic_score, true_signal, mesh=None):
 # ---------------------------------------------------------------------------
 
 def _rec_errors_core(y, y_hat, rec_error_type, smoothing_window,
-                     score_window=10, smooth=True, mesh=None):
+                     score_window=10, smooth=True, mesh=None, n_real=None):
     """Traced body of the reconstruction-error pipeline (shared by the
-    standalone jit and the fused euclidean scorer)."""
+    standalone jit and the fused euclidean scorer).
+
+    ``n_real``: optional traced real-window count (padded fleet path) —
+    the unroll masks, rolling bounds, and the dtw zero-pad boundary then
+    follow the real prefix; ``smoothing_window`` arrives traced."""
     constrain = _row_constraint(mesh)
-    true = constrain(true_series(constrain(y)))
-    pred = constrain(unroll_median(constrain(y_hat)))
+    if n_real is None:
+        true = constrain(true_series(constrain(y)))
+        pred = constrain(unroll_median(constrain(y_hat)))
+    else:
+        from hypad_tpu.ops.unroll import true_series_ragged
+
+        true = true_series_ragged(y, n_real)
+        pred = unroll_median(y_hat, n_real=n_real)
+    width = y.shape[1]
+    t_real = None if n_real is None else n_real + width - 1
     if rec_error_type == "point":
         errors = jnp.abs(true - pred)
     elif rec_error_type == "area":
-        st_ = rolling_trapz_centered(true, score_window, score_window // 2)
-        sp = rolling_trapz_centered(pred, score_window, score_window // 2)
+        if n_real is None:
+            st_ = rolling_trapz_centered(true, score_window,
+                                         score_window // 2)
+            sp = rolling_trapz_centered(pred, score_window,
+                                        score_window // 2)
+        else:
+            from hypad_tpu.ops.rolling import rolling_trapz_centered_ragged
+
+            st_ = rolling_trapz_centered_ragged(true, score_window, t_real,
+                                                score_window // 2)
+            sp = rolling_trapz_centered_ragged(pred, score_window, t_real,
+                                               score_window // 2)
         errors = jnp.abs(st_ - sp)
     elif rec_error_type == "dtw":
-        errors = dtw_errors(true, pred, score_window)
+        if n_real is None:
+            errors = dtw_errors(true, pred, score_window)
+        else:
+            # zero past the real boundary so boundary windows see the same
+            # zero padding the per-signal call sees, then re-zero the
+            # positions the per-signal output leaves at 0 (ops/dtw.py)
+            t = jnp.arange(true.shape[0])
+            rv = t < t_real
+            errors = dtw_errors(jnp.where(rv, true, 0.0),
+                                jnp.where(rv, pred, 0.0), score_window)
+            half = score_window // 2
+            length = 2 * half + 1
+            live = (t >= half) & (t < t_real - length + half)
+            errors = jnp.where(live, errors, 0.0)
     else:
         raise ValueError(f"unknown rec_error_type {rec_error_type!r}")
     if smooth:
-        errors = rolling_mean_centered(errors, smoothing_window,
-                                       max(smoothing_window // 2, 1))
+        if n_real is None:
+            errors = rolling_mean_centered(errors, smoothing_window,
+                                           max(smoothing_window // 2, 1))
+        else:
+            from hypad_tpu.ops.rolling import rolling_mean_centered_ragged
+
+            errors = rolling_mean_centered_ragged(
+                errors, smoothing_window, t_real,
+                jnp.maximum(smoothing_window // 2, 1))
     return errors, pred
 
 
@@ -322,14 +388,22 @@ def combine_scores(combination, critic_scores, rec_scores, recons_signal):
 # ---------------------------------------------------------------------------
 
 def _eucl_scores_core(y, y_hat, critic, rec_error_type, comb, width,
-                      smooth_window, use_pallas, lambda_rec=0.5, mesh=None):
+                      smooth_window, use_pallas, lambda_rec=0.5, mesh=None,
+                      n_real=None):
     """Traced body of the euclidean score_anomalies pipeline (shared by the
-    standalone fused jit and the one-call detector)."""
+    standalone fused jit, the one-call detector, and — with a traced
+    ``n_real``/``smooth_window`` — the padded fleet detector)."""
     critic_scores = _critic_scores_core(critic, width, smooth_window,
-                                        use_pallas, mesh)
+                                        use_pallas, mesh, n_real=n_real)
     errors, _ = _rec_errors_core(y, y_hat, rec_error_type, smooth_window,
-                                 mesh=mesh)
-    z = zscore(errors)
+                                 mesh=mesh, n_real=n_real)
+    if n_real is None:
+        z = zscore(errors)
+    else:
+        from hypad_tpu.ops.rolling import zscore_masked
+
+        z = zscore_masked(errors,
+                          jnp.arange(errors.shape[0]) < n_real + width - 1)
     rec_scores = jnp.clip(z, 0.0, None) + 1.0
     if comb == "mult":
         return critic_scores * rec_scores
@@ -416,17 +490,20 @@ def _combine_device(combination, critic_scores, rec_scores, recons):
 
 
 def _hyper_scores_core(recons, true, critic, combination, width,
-                       smooth_window, use_pallas, mesh=None):
+                       smooth_window, use_pallas, mesh=None, n_real=None):
     """The entire hyperbolic scoring pipeline — per-window acosh distances,
     critic KDE smoothing, combination — as ONE traced program. Detection on
     the tunneled backend is round-trip-bound; one call instead of three
-    roughly halves warm scoring latency."""
+    roughly halves warm scoring latency. ``n_real``: traced real-window
+    count for the padded fleet path (the [:N] critic truncation is the
+    static padded N there; positions past n_real are pad garbage the host
+    slices off)."""
     c = _row_constraint(mesh)
     rec_scores = st.acosh_poincare_distance(c(recons), c(true))
     critic_scores = []
     if combination in CRITIC_COMBOS:
         critic_scores = _critic_scores_core(critic, width, smooth_window,
-                                            use_pallas, mesh)
+                                            use_pallas, mesh, n_real=n_real)
         critic_scores = critic_scores[: rec_scores.shape[0]]
     return _combine_device(combination, critic_scores, rec_scores, recons)
 
@@ -482,7 +559,8 @@ _mv_scores_fused = functools.partial(
 # ---------------------------------------------------------------------------
 
 def _detect_core(params, X, hyperbolic, combination, rec_error, width,
-                 smooth_window, use_pallas, mesh=None, multivariate=False):
+                 smooth_window, use_pallas, mesh=None, multivariate=False,
+                 n_real=None):
     c = _row_constraint(mesh)
     Xc = c(X)
     z = encoder_apply(params["encoder"], Xc)
@@ -497,7 +575,7 @@ def _detect_core(params, X, hyperbolic, combination, rec_error, width,
         else:
             scores = _hyper_scores_core(c(hyper), c(hyper_x), critic,
                                         combination, width, smooth_window,
-                                        use_pallas, mesh)
+                                        use_pallas, mesh, n_real=n_real)
         return scores, (hyper, hyper_x, critic, eucl)
     recon = decoder_apply(params["decoder"], z)
     if multivariate:
@@ -506,7 +584,7 @@ def _detect_core(params, X, hyperbolic, combination, rec_error, width,
     else:
         scores = _eucl_scores_core(Xc, c(recon), critic, rec_error,
                                    combination, width, smooth_window,
-                                   use_pallas, mesh=mesh)
+                                   use_pallas, mesh=mesh, n_real=n_real)
     return scores, (recon, critic)
 
 
@@ -612,6 +690,77 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
         inference = InferenceOutput(recons_signal=recon, true_signal=X_host,
                                     critic_score=critic)
     return np.asarray(scores), inference
+
+
+# ---------------------------------------------------------------------------
+# fleet detection: a whole signal family's detection in ONE vmapped program
+# ---------------------------------------------------------------------------
+
+_STATIC_FLEET = ("hyperbolic", "combination", "rec_error", "width",
+                 "use_pallas", "mesh")
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC_FLEET)
+def _detect_fleet_device(stacked_params, Xs, n_real, smooth_window,
+                         hyperbolic, combination, rec_error, width,
+                         use_pallas, mesh=None):
+    from hypad_tpu.parallel.mesh import shard_leading
+
+    constrain = shard_leading(mesh)
+    stacked_params = constrain(stacked_params)
+    Xs = constrain(Xs)
+
+    def one(params, X, n, w):
+        return _detect_core(params, X, hyperbolic, combination, rec_error,
+                            width, w, use_pallas, mesh=None,
+                            multivariate=False, n_real=n)[0]
+
+    return jax.vmap(one)(stacked_params, Xs, n_real, smooth_window)
+
+
+def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
+                        rec_error="point", mesh=None):
+    """Whole-family detection — S signals' forward passes AND full scoring
+    pipelines in ONE vmapped, jit-compiled program.
+
+    No reference equivalent exists (the reference re-runs
+    ``anomaly_detection.py`` per signal, paying a process + compile + every
+    per-stage dispatch per signal); this is the detection-side twin of the
+    fleet trainer (train/fleet.py). Ragged families are zero-padded to one
+    (S, N, W) shape; every reduction (KDE masks, quantiles, std, rolling
+    smoothing, dtw boundaries, zscore) runs over each signal's REAL prefix
+    via a traced ``n_real``, so per-signal results match the per-signal
+    ``detect_scores`` path (asserted in tests/test_fleet_detect.py). One
+    compiled program serves the whole family — on a tunneled backend where
+    each novel shape costs ~40-200 s of remote compile, this collapses S
+    compiles into 1.
+
+    ``stacked_params``: model params pytree with a leading S axis
+    (train/fleet.stack_states-style). ``X_list``: S (N_i, W) host window
+    arrays. ``mesh``: optional dp mesh — the SIGNAL axis is sharded over it
+    (embarrassingly parallel, zero collectives).
+
+    Returns a list of S per-signal score vectors, each sliced to its true
+    length (N_i hyperbolic, N_i + W - 1 euclidean).
+    """
+    from hypad_tpu.train.fleet import pad_and_stack
+
+    Xs, n_real = pad_and_stack([np.asarray(x, np.float32) for x in X_list])
+    # per-signal smooth windows computed host-side with the exact Python
+    # trunc the per-signal path uses (score_anomalies_*: trunc(N*0.01))
+    smooth = np.array([max(math.trunc(int(n) * 0.01), 1) for n in n_real],
+                      np.int32)
+    width = Xs.shape[2]
+    # always the jnp/XLA KDE backend here: it is the measured-fastest and
+    # bitwise-reference default (PARITY.md "KDE kernel floor"), and the
+    # opt-in Mosaic kernels are 2-D-only (not vmappable over the fleet axis)
+    out = _detect_fleet_device(
+        stacked_params, jnp.asarray(Xs), jnp.asarray(n_real),
+        jnp.asarray(smooth), hyperbolic, combination, rec_error, width,
+        False, mesh=mesh)
+    out = np.asarray(out)
+    lens = [int(n) if hyperbolic else int(n) + width - 1 for n in n_real]
+    return [out[i, :L] for i, L in enumerate(lens)]
 
 
 def score_anomalies_multivariate(inference: InferenceOutput, combination,

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def antidiagonal_gather(y_hat):
+def antidiagonal_gather(y_hat, n_real=None):
     """(N, W) window-stacked values -> (T, W) anti-diagonal matrix + mask.
 
     Row i holds the values predicted for timestep i: ``y_hat[i - j, j]`` for
@@ -30,6 +30,11 @@ def antidiagonal_gather(y_hat):
     gathers are slow — the round-3 on-chip probe measured the old
     ``y_hat[clip(i-j), j]`` 2-D gather at ~20 ms for 20k x 100 vs <1 ms for
     this formulation (PARITY.md); outputs are bitwise-identical.
+
+    ``n_real``: optional traced count of REAL windows (< N; the rest are
+    fleet padding, detect_scores_fleet) — entries drawn from pad windows
+    are masked out, so every masked consumer sees exactly the length-n_real
+    anti-diagonal structure.
     """
     N, W = y_hat.shape
     T = N + W - 1
@@ -38,7 +43,7 @@ def antidiagonal_gather(y_hat):
     i = jnp.arange(T)[:, None]        # (T, 1)
     j = jnp.arange(W)[None, :]        # (1, W)
     n = i - j                          # window index
-    mask = (n >= 0) & (n < N)
+    mask = (n >= 0) & (n < (N if n_real is None else n_real))
     return vals, mask
 
 
@@ -54,11 +59,12 @@ def masked_median(vals, mask):
     return 0.5 * (lo + hi)
 
 
-def unroll_median(y_hat):
+def unroll_median(y_hat, n_real=None):
     """Reference ``reconstruction_errors`` prediction unroll
     (utils/anomaly_detection_utils.py:915-938): per-timestep median of all
-    overlapping window predictions. (N, W) -> (T,)."""
-    vals, mask = antidiagonal_gather(y_hat)
+    overlapping window predictions. (N, W) -> (T,). ``n_real``: see
+    ``antidiagonal_gather``."""
+    vals, mask = antidiagonal_gather(y_hat, n_real=n_real)
     return masked_median(vals, mask)
 
 
@@ -67,3 +73,17 @@ def true_series(y):
     first element of every window plus the tail of the last window.
     (N, W) -> (T,)."""
     return jnp.concatenate([y[:, 0], y[-1, 1:]])
+
+
+def true_series_ragged(y, n_real):
+    """``true_series`` over the first ``n_real`` (traced) rows of padded y:
+    positions [0, n_real) take window starts, [n_real, n_real + W - 1) the
+    tail of window n_real - 1; later entries are unspecified (fleet padding,
+    sliced off on host)."""
+    import jax
+
+    W = y.shape[1]
+    first = jnp.pad(y[:, 0], (0, W - 1))                      # (T,)
+    last = jax.lax.dynamic_slice_in_dim(
+        y, jnp.maximum(n_real - 1, 0), 1, axis=0)[0]          # (W,)
+    return jax.lax.dynamic_update_slice(first, last[1:], (n_real,))

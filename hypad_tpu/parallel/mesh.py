@@ -48,6 +48,23 @@ def make_mesh(devices="all", axis_name="dp", shape=None, axis_names=None):
     return Mesh(np.array(devs), (axis_name,))
 
 
+def shard_leading(mesh, axis_name="dp"):
+    """Returns f(tree) constraining the LEADING axis of every leaf over the
+    given mesh axis (identity when mesh is None). Used by the fleet trainer
+    and fleet detector: the signal axis is embarrassingly parallel, so each
+    device owns its shard of the fleet with zero collectives."""
+    if mesh is None:
+        return lambda tree: tree
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def constrain(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(axis_name))), tree)
+
+    return constrain
+
+
 def batch_multiple(batch_size, mesh):
     """Largest batch size <= batch_size divisible by the dp axis (XLA shards
     evenly; the reference's drop_last already trims the dataset)."""

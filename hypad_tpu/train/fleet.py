@@ -88,16 +88,9 @@ def pad_and_stack(X_list, pad_value=0.0):
 
 def _fleet_constrain(mesh):
     """Shard the leading SIGNAL axis of every leaf over the dp mesh axis."""
-    if mesh is None:
-        return lambda tree: tree
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from hypad_tpu.parallel.mesh import shard_leading
 
-    def constrain(tree):
-        return jax.tree_util.tree_map(
-            lambda x: jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P("dp"))), tree)
-
-    return constrain
+    return shard_leading(mesh)
 
 
 def build_fleet_epoch_fn(lr, hyperbolic, batch_size, ragged=False,

@@ -41,6 +41,9 @@ def test_sweep_cli_two_signal_nab(tmp_path, capsys):
         assert (run_dir / "state_final").exists()   # per-signal checkpoint
         assert (run_dir / "config.yaml").exists()   # snapshot
         assert (run_dir / "anomalies.csv").exists()  # detector artifact
+        # sweep detection is the fleet (scores-only) path: no per-signal
+        # inference artifacts are persisted
+        assert not (run_dir / "inference.npz").exists()
     assert (base / cfg["signals"][0] / "sweep_log.jsonl").exists()
 
     # one cumulative results row per signal (reference results CSV shape)

@@ -1,0 +1,99 @@
+"""Fleet detector tests: one vmapped detection program over a padded,
+ragged signal family vs the per-signal one-call path.
+
+The fleet detector has no reference equivalent (the reference re-runs
+anomaly_detection.py per signal); equality against ``detect_scores`` —
+itself golden vs the reference scoring stages (tests/test_scoring.py) —
+is the correctness anchor. The family is deliberately ragged (210/150/90
+windows) so the traced per-signal smooth windows differ (2/1/1) and every
+masked reduction (KDE mask, quantiles, std, rolling bounds, dtw
+boundaries, zscore) is exercised off the static path.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from hypad_tpu.detect import scorer as sc
+from hypad_tpu.models.tadgan import init_tadgan
+from hypad_tpu.parallel.mesh import make_mesh
+from hypad_tpu.train import fleet as fl
+
+W = 100
+LENS = (210, 150, 90)
+
+
+def _toy_windows(n, seed):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 20 * np.pi, n + W)
+    s = np.sin(t) + 0.05 * rng.standard_normal(n + W)
+    X = np.stack([s[i:i + W] for i in range(n)]).astype(np.float32)
+    return np.clip(X, -1, 1)
+
+
+def _family(hyperbolic):
+    params = [init_tadgan(jax.random.PRNGKey(7 + i), signal_shape=W,
+                          hyperbolic=hyperbolic)
+              for i in range(len(LENS))]
+    X_list = [_toy_windows(n, seed=i) for i, n in enumerate(LENS)]
+    return fl.stack_states(params), params, X_list
+
+
+def _per_signal(params, X_list, hyperbolic, combination, rec_error):
+    return [sc.detect_scores(p, X, hyperbolic, combination,
+                             rec_error=rec_error, fetch_inference=False)[0]
+            for p, X in zip(params, X_list)]
+
+
+@pytest.mark.parametrize("combination,rec_error", [
+    ("mult", "point"),
+    ("mult", "dtw"),
+    ("sum", "area"),
+    ("critic", "point"),
+    ("rec", "point"),
+])
+def test_fleet_matches_per_signal_euclidean(combination, rec_error):
+    stacked, params, X_list = _family(False)
+    expected = _per_signal(params, X_list, False, combination, rec_error)
+    got = sc.detect_scores_fleet(stacked, X_list, False, combination,
+                                 rec_error=rec_error)
+    assert len(got) == len(expected)
+    for e, g in zip(expected, got):
+        assert g.shape == e.shape
+        np.testing.assert_allclose(g, e, rtol=3e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("combination", [
+    "uncertainty", "mult", "critic_uncertainty", "rec",
+])
+def test_fleet_matches_per_signal_hyperbolic(combination):
+    stacked, params, X_list = _family(True)
+    expected = _per_signal(params, X_list, True, combination, "point")
+    got = sc.detect_scores_fleet(stacked, X_list, True, combination)
+    for e, g in zip(expected, got):
+        assert g.shape == e.shape
+        np.testing.assert_allclose(g, e, rtol=3e-4, atol=1e-5)
+
+
+def test_fleet_equal_length_family():
+    """Equal lengths (no padding) still go through the ragged program and
+    must match the per-signal path."""
+    params = [init_tadgan(jax.random.PRNGKey(i), signal_shape=W,
+                          hyperbolic=True) for i in range(2)]
+    X_list = [_toy_windows(120, seed=10 + i) for i in range(2)]
+    expected = _per_signal(params, X_list, True, "uncertainty", "point")
+    got = sc.detect_scores_fleet(fl.stack_states(params), X_list, True,
+                                 "uncertainty")
+    for e, g in zip(expected, got):
+        np.testing.assert_allclose(g, e, rtol=3e-4, atol=1e-5)
+
+
+def test_fleet_detect_sharded_matches_single():
+    """Signal-axis sharding over the 8-device CPU mesh changes nothing."""
+    stacked, params, X_list = _family(False)
+    mesh = make_mesh("all")
+    single = sc.detect_scores_fleet(stacked, X_list, False, "mult")
+    sharded = sc.detect_scores_fleet(stacked, X_list, False, "mult",
+                                     mesh=mesh)
+    for s1, s2 in zip(single, sharded):
+        np.testing.assert_allclose(s2, s1, rtol=3e-4, atol=1e-5)
