@@ -244,12 +244,18 @@ def cmd_sweep(params, config_path, signals=None):
 
         stacked_params = jax.tree_util.tree_map(
             lambda x: x[: len(per)], fstate.params)
+        t0 = time.time()
         with stage("sweep_detect_device"):
             fleet_scores = detect_scores_fleet(
                 stacked_params,
                 [np.asarray(td.X, np.float32) for (_, _, td, *_) in per],
                 params.hyperbolic, params.combination,
                 rec_error=params.rec_error, mesh=mesh)
+        dwall = time.time() - t0
+        n_win = sum(len(td.X) for (_, _, td, *_) in per)
+        print(f"fleet detection wall-clock: {dwall:.2f}s for {len(per)} "
+              f"signals / {n_win} windows in one program "
+              f"({n_win / dwall:.1f} windows/sec)")
 
     results = []
     for i, (p, train_data, test_data, read_path, path) in enumerate(per):
