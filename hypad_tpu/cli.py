@@ -218,11 +218,11 @@ def cmd_sweep(params, config_path, signals=None):
 
     t0 = time.time()
     with stage("sweep_train"):
-        fstate = fl.train_fleet(
+        fstate, staged = fl.train_fleet(
             fstate, X_list, lr=params.lr, hyperbolic=params.hyperbolic,
             batch_size=params.batch_size, n_epochs=params.epochs,
             seed=params.seed, mesh=mesh, log_cb=log_cb,
-            checkpoint_cb=ckpt_cb)
+            checkpoint_cb=ckpt_cb, return_staged=True)
     wall = time.time() - t0
     print(f"sweep training wall-clock: {wall:.2f}s for {len(signals)} "
           f"signals x {params.epochs} epochs "
@@ -244,13 +244,17 @@ def cmd_sweep(params, config_path, signals=None):
 
         stacked_params = jax.tree_util.tree_map(
             lambda x: x[: len(per)], fstate.params)
+        # unique-dataset families test on their training windows — reuse
+        # the trainer's device-resident padded stack instead of paying the
+        # host pad + tunnel upload again (dominant at large S; scorer doc)
+        reuse = staged if all(
+            td is trd or td.X is trd.X for (_, trd, td, *_) in per) else None
         t0 = time.time()
         with stage("sweep_detect_device"):
             fleet_scores = detect_scores_fleet(
-                stacked_params,
-                [np.asarray(td.X, np.float32) for (_, _, td, *_) in per],
+                stacked_params, [td.X for (_, _, td, *_) in per],
                 params.hyperbolic, params.combination,
-                rec_error=params.rec_error, mesh=mesh)
+                rec_error=params.rec_error, mesh=mesh, staged=reuse)
         dwall = time.time() - t0
         n_win = sum(len(td.X) for (_, _, td, *_) in per)
         print(f"fleet detection wall-clock: {dwall:.2f}s for {len(per)} "

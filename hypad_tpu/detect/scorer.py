@@ -719,7 +719,7 @@ def _detect_fleet_device(stacked_params, Xs, n_real, smooth_window,
 
 
 def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
-                        rec_error="point", mesh=None):
+                        rec_error="point", mesh=None, staged=None):
     """Whole-family detection — S signals' forward passes AND full scoring
     pipelines in ONE vmapped, jit-compiled program.
 
@@ -740,12 +740,31 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     arrays. ``mesh``: optional dp mesh — the SIGNAL axis is sharded over it
     (embarrassingly parallel, zero collectives).
 
+    ``staged``: optional ``(Xs, n_real)`` device-resident padded stack
+    covering the SAME windows as ``X_list`` (train_fleet
+    ``return_staged=True``) — the host pad + device upload are skipped
+    entirely (they dominate large fleets: 2.5 s of a 3.6 s call at
+    S=81 x 1320 x 100 through the tunnel, vs 61 ms device compute).
+    ``Xs`` may be longer-padded and carry trailing mesh-dummy rows; only
+    its first S rows are consumed.
+
     Returns a list of S per-signal score vectors, each sliced to its true
     length (N_i hyperbolic, N_i + W - 1 euclidean).
     """
     from hypad_tpu.train.fleet import pad_and_stack
 
-    Xs, n_real = pad_and_stack([np.asarray(x, np.float32) for x in X_list])
+    if staged is not None:
+        Xs_full, n_staged = staged
+        S = len(X_list)
+        n_real = np.asarray([x.shape[0] for x in X_list], np.int32)
+        assert Xs_full.shape[0] >= S and Xs_full.shape[1] >= n_real.max(), \
+            "staged stack does not cover the requested family"
+        assert (np.asarray(n_staged)[:S] == n_real).all(), \
+            "staged window counts disagree with X_list"
+        Xs = Xs_full[:S]
+    else:
+        Xs, n_real = pad_and_stack(
+            [np.asarray(x, np.float32) for x in X_list])
     # per-signal smooth windows computed host-side with the exact Python
     # trunc the per-signal path uses (score_anomalies_*: trunc(N*0.01))
     smooth = np.array([max(math.trunc(int(n) * 0.01), 1) for n in n_real],

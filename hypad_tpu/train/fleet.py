@@ -151,7 +151,8 @@ def build_fleet_multi_epoch_fn(lr, hyperbolic, batch_size, epochs_per_call,
 
 def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
                 seed=0, mesh=None, checkpoint_cb=None, log_cb=None,
-                start_epoch=0, epochs_per_call=10, ragged=None):
+                start_epoch=0, epochs_per_call=10, ragged=None,
+                return_staged=False):
     """Train S signals' models jointly in fused fleet programs.
 
     ``states``: stacked TrainState (leading axis S, see ``stack_states``).
@@ -170,6 +171,14 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
     differ or the mesh forces dummy padding); True forces the ragged
     stream on an equal-length fleet — the shuffle RNG stream differs
     between modes, so like-for-like comparisons must pin it.
+
+    ``return_staged``: also return the DEVICE-RESIDENT padded window stack
+    as ``(states, (Xs, n_real))`` so unique-dataset sweeps (test == train)
+    can run fleet detection on the already-uploaded array instead of
+    paying the host pad + tunnel upload again (measured 2.5 s of a 3.6 s
+    call at S=81 x 1320 x 100; detect/scorer.detect_scores_fleet
+    ``staged=``). ``Xs`` may carry mesh-pad dummy rows past the first
+    ``len(X_list)`` signals; ``n_real`` covers the real signals only.
     """
     lens = {x.shape[0] for x in X_list}
     S = len(X_list)
@@ -245,4 +254,7 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
             actual_epoch % 10 == 0 or actual_epoch == n_epochs - 1
         ):
             checkpoint_cb(actual_epoch, states)
+    if return_staged:
+        lens = np.asarray([x.shape[0] for x in X_list], np.int32)
+        return states, (Xs, lens)
     return states

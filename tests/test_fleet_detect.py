@@ -88,6 +88,34 @@ def test_fleet_equal_length_family():
         np.testing.assert_allclose(g, e, rtol=3e-4, atol=1e-5)
 
 
+def test_fleet_detect_staged_stack_matches():
+    """A pre-staged (device-resident) padded stack — incl. extra padding
+    and trailing dummy rows, as train_fleet's mesh path produces — gives
+    identical scores to the host-list path."""
+    import jax.numpy as jnp
+
+    stacked, params, X_list = _family(False)
+    want = sc.detect_scores_fleet(stacked, X_list, False, "mult")
+    n_max = max(len(x) for x in X_list) + 5      # longer-padded than needed
+    Xs = np.zeros((len(X_list) + 2, n_max, W), np.float32)  # +2 dummies
+    for i, x in enumerate(X_list):
+        Xs[i, : len(x)] = x
+    staged = (jnp.asarray(Xs),
+              np.asarray([len(x) for x in X_list] + [1, 1], np.int32))
+    got = sc.detect_scores_fleet(stacked, X_list, False, "mult",
+                                 staged=staged)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=3e-4, atol=1e-5)
+
+
+def test_fleet_detect_staged_mismatch_raises():
+    stacked, params, X_list = _family(False)
+    bad = (np.zeros((3, 50, W), np.float32),
+           np.asarray([len(x) for x in X_list], np.int32))
+    with pytest.raises(AssertionError):
+        sc.detect_scores_fleet(stacked, X_list, False, "mult", staged=bad)
+
+
 def test_fleet_detect_sharded_matches_single():
     """Signal-axis sharding over the 8-device CPU mesh changes nothing."""
     stacked, params, X_list = _family(False)
