@@ -38,7 +38,9 @@ extras (all measured in the same run, full-framework coverage):
   fleet9_detect_* — 9 ragged signals' detection (forward + full scoring)
              in ONE vmapped fleet program (`hypad sweep`'s detection path,
              detect/scorer.detect_scores_fleet), incl. per-call pad+upload;
-             speedup vs 9 sequential one-call detections and vs reference
+             speedup vs 9 sequential one-call detections and vs reference.
+             The _staged variant reuses a device-resident padded stack
+             (sweep's unique-dataset path) — no per-call pad+upload
   pallas_ok / pallas_kde_tie_flips / pallas_mobius_maxdiff — on-chip
              equivalence of the hand-tiled Mosaic kernels vs their jnp
              references, re-proven on every bench run. mobius_linear_fused
@@ -259,10 +261,19 @@ def main():
                for i in range(9)]
     fd_params = jax.tree_util.tree_map(
         lambda x: jnp.stack([x] * 9), state.params)
+    n_fleet_win = sum(len(x) for x in fleet_X)
     fleet_detect_wps = _throughput(
         lambda: sc.detect_scores_fleet(fd_params, fleet_X, True,
-                                       "uncertainty")[-1],
-        sum(len(x) for x in fleet_X))
+                                       "uncertainty")[-1], n_fleet_win)
+    # staged variant: the `sweep` path for unique-dataset families — the
+    # trainer's device-resident padded stack is reused, no per-call
+    # pad+upload (train_fleet return_staged= -> detect_scores_fleet staged=)
+    fXs, fn_real = fl.pad_and_stack(fleet_X)
+    fleet_staged = (jax.device_put(jnp.asarray(fXs), dev0), fn_real)
+    fleet_detect_staged_wps = _throughput(
+        lambda: sc.detect_scores_fleet(fd_params, fleet_X, True,
+                                       "uncertainty",
+                                       staged=fleet_staged)[-1], n_fleet_win)
 
     # ---- SMAP A-1 hyperbolic epoch (separate train split, 2780 windows —
     # the second PARITY headline; driver-reproducible per VERDICT r2 item 4)
@@ -307,6 +318,7 @@ def main():
         f"detect_upload={detect_upload_wps:.0f}w/s "
         f"detect_20k={detect_20k_wps:.0f}w/s "
         f"fleet9_detect={fleet_detect_wps:.0f}w/s "
+        f"fleet9_detect_staged={fleet_detect_staged_wps:.0f}w/s "
         f"eucl_dtw_scoring={eucl_wps:.0f}w/s pallas_ok={pallas_ok} "
         f"(kde_tie_flips={kde_flips}, mobius_maxdiff={ml_maxdiff})",
         file=sys.stderr,
@@ -338,6 +350,7 @@ def main():
             "detect_e2e_upload_wps": round(detect_upload_wps),
             "detect_20k_wps": round(detect_20k_wps),
             "fleet9_detect_wps": round(fleet_detect_wps),
+            "fleet9_detect_staged_wps": round(fleet_detect_staged_wps),
             "fleet9_detect_speedup_vs_sequential": round(
                 fleet_detect_wps / detect_e2e_wps, 2),
             "fleet9_detect_vs_baseline": round(

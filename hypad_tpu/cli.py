@@ -144,7 +144,7 @@ def _run_detection(params, model_params, test_data, path, read_path,
     return result
 
 
-def cmd_sweep(params, config_path, signals=None):
+def cmd_sweep(params, config_path, signals=None, seeds=None):
     """Train + detect a whole signal family in ONE fused fleet program.
 
     Capability extension over the reference (which re-runs ``train.py`` per
@@ -159,7 +159,11 @@ def cmd_sweep(params, config_path, signals=None):
     fall back to the per-signal cached path.
 
     Signals come from a ``signals: [...]`` list in the config or the
-    ``--signals a,b,c`` flag.
+    ``--signals a,b,c`` flag. Alternatively ``--seeds 0,1,2`` (or a
+    ``seeds: [...]`` config list) trains the config's ONE signal as a
+    SEED BAND — S replicas with per-signal key streams identical to S
+    sequential ``train`` runs at those seeds (the PARITY.md seed-band
+    protocol in one program); run dirs are nested under ``seed_{k}/``.
     """
     import argparse as ap
     import copy
@@ -172,14 +176,23 @@ def cmd_sweep(params, config_path, signals=None):
     from hypad_tpu.utils.profiling import stage
 
     signals = signals or getattr(params, "signals", None)
+    seeds = seeds or getattr(params, "seeds", None)
+    if seeds is not None and signals:
+        raise SystemExit("sweep takes --signals or --seeds, not both")
+    if seeds is not None:
+        signals = [params.signal] * len(seeds)
     if not signals:
-        raise SystemExit("sweep needs a `signals:` list in the config "
-                         "or --signals a,b,c")
+        raise SystemExit("sweep needs a `signals:` list in the config, "
+                         "--signals a,b,c, or --seeds 0,1,2")
 
     per = []
-    for s in signals:
+    for i, s in enumerate(signals):
         p = ap.Namespace(**copy.deepcopy(vars(params)))
         p.signal = s
+        if seeds is not None:
+            p.seed = int(seeds[i])
+            p.output_root = os.path.join(params.output_root,
+                                         f"seed_{p.seed}")
         train_data, test_data, read_path, path = _build(p)
         ck.snapshot_config(path, config_path)
         per.append((p, train_data, test_data, read_path, path))
@@ -222,7 +235,8 @@ def cmd_sweep(params, config_path, signals=None):
             fstate, X_list, lr=params.lr, hyperbolic=params.hyperbolic,
             batch_size=params.batch_size, n_epochs=params.epochs,
             seed=params.seed, mesh=mesh, log_cb=log_cb,
-            checkpoint_cb=ckpt_cb, return_staged=True)
+            checkpoint_cb=ckpt_cb, return_staged=True,
+            seeds=[int(s) for s in seeds] if seeds is not None else None)
     wall = time.time() - t0
     print(f"sweep training wall-clock: {wall:.2f}s for {len(signals)} "
           f"signals x {params.epochs} epochs "
@@ -265,7 +279,8 @@ def cmd_sweep(params, config_path, signals=None):
     for i, (p, train_data, test_data, read_path, path) in enumerate(per):
         st_i = fl.unstack_state(host_state, i)
         ck.save_state(path, st_i, "final")
-        print(f"--- {p.signal} ---")
+        tag = f" (seed {p.seed})" if seeds is not None else ""
+        print(f"--- {p.signal}{tag} ---")
         res = _run_detection(p, st_i.params, test_data, path, read_path,
                              mesh=mesh, precomputed_scores=fleet_scores[i])
         m = res["metrics"]
@@ -310,6 +325,10 @@ def main(argv=None):
     parser.add_argument("--signals", type=str, default=None,
                         help="comma-separated signal list for `sweep` "
                              "(overrides the config's `signals:`)")
+    parser.add_argument("--seeds", type=str, default=None,
+                        help="comma-separated seed list for `sweep`: train "
+                             "the config's signal as a seed band in one "
+                             "fleet program")
     args = parser.parse_args(argv)
 
     from hypad_tpu.utils.config import load_config
@@ -323,7 +342,8 @@ def main(argv=None):
     elif command == "sweep":
         cmd_sweep(params, args.config,
                   signals=(args.signals.split(",") if args.signals
-                           else None))
+                           else None),
+                  seeds=(args.seeds.split(",") if args.seeds else None))
     else:
         cmd_detect(params, args.config)
 

@@ -119,28 +119,42 @@ def build_fleet_epoch_fn(lr, hyperbolic, batch_size, ragged=False,
 
 
 def build_fleet_multi_epoch_fn(lr, hyperbolic, batch_size, epochs_per_call,
-                               ragged=False, mesh=None):
+                               ragged=False, mesh=None,
+                               per_signal_keys=False):
     """Fuse ``epochs_per_call`` fleet epochs into one device program
-    (same host-round-trip amortization as ``build_multi_epoch_fn``)."""
+    (same host-round-trip amortization as ``build_multi_epoch_fn``).
+
+    ``per_signal_keys``: the key argument is (S, 2) — one chunk key PER
+    SIGNAL (multi-seed fleets, ``train_fleet(seeds=...)``) — and each
+    signal's per-epoch keys are its own ``jax.random.split``, exactly the
+    stream a sequential ``train_tadgan(seed=seed_i)`` run would draw."""
     single = build_fleet_epoch_fn(lr, hyperbolic, batch_size, ragged=ragged,
                                   mesh=mesh)
 
+    def _epoch_keys(key, n_signals):
+        """(E, S, 2) per-epoch per-signal keys from a (2,) or (S, 2) key."""
+        if per_signal_keys:
+            return jnp.swapaxes(
+                jax.vmap(lambda k: jax.random.split(k, epochs_per_call))(
+                    key), 0, 1)
+        keys = jax.random.split(key, epochs_per_call)
+        return jnp.broadcast_to(keys[:, None],
+                                (epochs_per_call, n_signals) + key.shape)
+
     if ragged:
         def multi(states, Xs, key, n_real):
-            def step(st, k):
-                ks = jnp.broadcast_to(k, (Xs.shape[0],) + k.shape)
+            def step(st, ks):
                 return single(st, Xs, ks, n_real)
 
-            keys = jax.random.split(key, epochs_per_call)
-            return jax.lax.scan(step, states, keys)
+            return jax.lax.scan(step, states,
+                                _epoch_keys(key, Xs.shape[0]))
     else:
         def multi(states, Xs, key):
-            def step(st, k):
-                ks = jnp.broadcast_to(k, (Xs.shape[0],) + k.shape)
+            def step(st, ks):
                 return single(st, Xs, ks)
 
-            keys = jax.random.split(key, epochs_per_call)
-            return jax.lax.scan(step, states, keys)
+            return jax.lax.scan(step, states,
+                                _epoch_keys(key, Xs.shape[0]))
 
     return jax.jit(multi, donate_argnums=(0,))
 
@@ -152,7 +166,7 @@ def build_fleet_multi_epoch_fn(lr, hyperbolic, batch_size, epochs_per_call,
 def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
                 seed=0, mesh=None, checkpoint_cb=None, log_cb=None,
                 start_epoch=0, epochs_per_call=10, ragged=None,
-                return_staged=False):
+                return_staged=False, seeds=None):
     """Train S signals' models jointly in fused fleet programs.
 
     ``states``: stacked TrainState (leading axis S, see ``stack_states``).
@@ -171,6 +185,14 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
     differ or the mesh forces dummy padding); True forces the ragged
     stream on an equal-length fleet — the shuffle RNG stream differs
     between modes, so like-for-like comparisons must pin it.
+
+    ``seeds``: optional per-signal seed list (len S) — each signal draws
+    the key stream a sequential ``train_tadgan(seed=seed_i)`` run would
+    (``fold_in(PRNGKey(seed_i), epoch)`` chunk keys, split within chunks),
+    so a SEED BAND of one signal trains as a fleet in one program
+    (`hypad sweep --seeds`); overrides ``seed``. Equal-length multi-seed
+    fleets are bitwise-identical to the sequential runs
+    (tests/test_fleet.py).
 
     ``return_staged``: also return the DEVICE-RESIDENT padded window stack
     as ``(states, (Xs, n_real))`` so unique-dataset sweeps (test == train)
@@ -207,6 +229,11 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
         n_real = None
     Xs = jnp.asarray(Xs, jnp.float32)
 
+    if seeds is not None:
+        assert len(seeds) == S, "one seed per signal"
+        # mesh-pad dummies reuse the last seed (their steps are masked)
+        base_keys = jnp.stack([jax.random.PRNGKey(int(s))
+                               for s in list(seeds) + [seeds[-1]] * n_pad])
     base_key = jax.random.PRNGKey(seed)
 
     # chunk boundaries: identical to train_tadgan's (checkpoint cadence)
@@ -230,14 +257,20 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
                     lr, hyperbolic, batch_size, ragged=ragged, mesh=mesh)
             else:
                 fns[n] = build_fleet_multi_epoch_fn(
-                    lr, hyperbolic, batch_size, n, ragged=ragged, mesh=mesh)
+                    lr, hyperbolic, batch_size, n, ragged=ragged, mesh=mesh,
+                    per_signal_keys=seeds is not None)
         return fns[n]
 
     S_total = Xs.shape[0]
     for chunk in boundaries:
-        key = jax.random.fold_in(base_key, actual_epoch)
+        if seeds is not None:
+            key = jax.vmap(
+                lambda k: jax.random.fold_in(k, actual_epoch))(base_keys)
+        else:
+            key = jax.random.fold_in(base_key, actual_epoch)
         if chunk == 1:
-            keys = jnp.broadcast_to(key, (S_total,) + key.shape)
+            keys = (key if seeds is not None else
+                    jnp.broadcast_to(key, (S_total,) + key.shape))
             args = (states, Xs, keys) + ((n_real,) if ragged else ())
             states, metrics = get_fn(1)(*args)
             stacked = jax.tree_util.tree_map(lambda v: v[None], metrics)

@@ -53,6 +53,33 @@ def test_sweep_cli_two_signal_nab(tmp_path, capsys):
     assert list(res["signal"]) == cfg["signals"]
 
 
+def test_sweep_seed_band(tmp_path, capsys):
+    """--seeds trains the config's one signal as a seed band in one fleet
+    program; each seed lands in its own seed_{k}/ run tree."""
+    from hypad_tpu import cli
+
+    cfg = {
+        "dataset": "NAB", "signal": "Twitter_volume_AAPL", "epochs": 1,
+        "hyperbolic": False, "signal_shape": 100, "batch_size": 64,
+        "lr": 5e-4, "rec_error": "point", "combination": "mult",
+        "unique_dataset": True,
+        "data_root": NAB_DATA, "output_root": str(tmp_path), "devices": 1,
+    }
+    cfg_path = tmp_path / "nab_band.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    cli.main(["sweep", "--config", str(cfg_path), "--seeds", "0,3"])
+    out = capsys.readouterr().out
+    assert "--- Twitter_volume_AAPL (seed 0) ---" in out
+    assert "--- Twitter_volume_AAPL (seed 3) ---" in out
+    for k in (0, 3):
+        run_dir = (tmp_path / f"seed_{k}" / "trained_models"
+                   / "models_eucl_NAB_1_0.0005" / "NAB"
+                   / "Twitter_volume_AAPL")
+        assert (run_dir / "state_final").exists()
+        assert (run_dir / "anomalies.csv").exists()
+
+
 def test_sweep_signals_flag_overrides_config(tmp_path, capsys):
     """--signals wins over the config list (argv surface)."""
     from hypad_tpu import cli

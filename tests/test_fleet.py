@@ -57,6 +57,30 @@ def test_fleet_equals_sequential_equal_lengths(hyperbolic):
         _assert_bitwise(st, fl.unstack_state(fstate, i))
 
 
+@pytest.mark.parametrize("n_epochs", [2, 12])
+def test_multi_seed_fleet_equals_sequential(n_epochs):
+    """A seed-band fleet (same signal, per-signal seeds) is BITWISE
+    identical to sequential train_tadgan runs at those seeds — the key
+    stream is fold_in(PRNGKey(seed_i), epoch) per signal, split within
+    chunks (12 epochs crosses the 10-epoch chunk boundary, exercising the
+    per-signal-keys multi-epoch program)."""
+    X = _toy_windows(96, seed=3)
+    band = [0, 7]
+    fstate = fl.init_fleet_state(
+        [init_tadgan(jax.random.PRNGKey(s), signal_shape=100,
+                     hyperbolic=False) for s in band],
+        lr=5e-4, hyperbolic=False)
+    fstate = fl.train_fleet(fstate, [X, X], lr=5e-4, hyperbolic=False,
+                            batch_size=32, n_epochs=n_epochs, seeds=band)
+    for i, s in enumerate(band):
+        st = tr.init_train_state(
+            init_tadgan(jax.random.PRNGKey(s), signal_shape=100,
+                        hyperbolic=False), lr=5e-4, hyperbolic=False)
+        st = tr.train_tadgan(st, X, lr=5e-4, hyperbolic=False,
+                             batch_size=32, n_epochs=n_epochs, seed=s)
+        _assert_bitwise(st, fl.unstack_state(fstate, i))
+
+
 def test_ragged_fleet_matches_unvmapped_body():
     """A mixed-length fleet == the un-vmapped ragged epoch body run per
     signal with the same key schedule (vmap adds nothing numerically)."""
