@@ -194,7 +194,10 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
             p.output_root = os.path.join(params.output_root,
                                          f"seed_{p.seed}")
         train_data, test_data, read_path, path = _build(p)
-        ck.snapshot_config(path, config_path)
+        # snapshot the EFFECTIVE params (swept signal / band seed), not the
+        # config file — so `hypad detect --config <run>/config.yaml`
+        # re-enters THIS run
+        ck.snapshot_effective(path, p)
         per.append((p, train_data, test_data, read_path, path))
 
     mesh = make_mesh(params.devices)

@@ -80,3 +80,18 @@ def snapshot_config(run_dir, config_path):
     os.makedirs(run_dir, exist_ok=True)
     if config_path and os.path.isfile(config_path):
         shutil.copy(config_path, os.path.join(run_dir, "config.yaml"))
+
+
+def snapshot_effective(run_dir, params):
+    """Write the EFFECTIVE params as the run-dir config snapshot.
+
+    Sweep runs (cli.cmd_sweep) derive per-run params that differ from the
+    config file on disk (the swept ``signal``, a band's ``seed`` and
+    seed_{k}/ ``output_root``) — copying the file verbatim would make a
+    later ``hypad detect --config <run>/config.yaml`` re-enter the WRONG
+    run. The snapshot round-trips through utils/config.load_config."""
+    import yaml
+
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(vars(params), f, default_flow_style=False)

@@ -78,6 +78,16 @@ def test_sweep_seed_band(tmp_path, capsys):
                    / "Twitter_volume_AAPL")
         assert (run_dir / "state_final").exists()
         assert (run_dir / "anomalies.csv").exists()
+        # the snapshot holds the EFFECTIVE params: this run's seed/root
+        snap = yaml.safe_load((run_dir / "config.yaml").read_text())
+        assert snap["seed"] == k
+        assert snap["output_root"].endswith(f"seed_{k}")
+
+    # detect re-enters a band run from its own snapshot
+    run_dir = (tmp_path / "seed_3" / "trained_models"
+               / "models_eucl_NAB_1_0.0005" / "NAB" / "Twitter_volume_AAPL")
+    cli.main(["detect", "--config", str(run_dir / "config.yaml")])
+    assert "detection wall-clock" in capsys.readouterr().out
 
 
 def test_sweep_signals_flag_overrides_config(tmp_path, capsys):
