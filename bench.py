@@ -40,7 +40,9 @@ extras (all measured in the same run, full-framework coverage):
              detect/scorer.detect_scores_fleet), incl. per-call pad+upload;
              speedup vs 9 sequential one-call detections and vs reference.
              The _staged variant reuses a device-resident padded stack
-             (sweep's unique-dataset path) — no per-call pad+upload
+             (sweep's unique-dataset path) — no per-call pad+upload.
+             fleet81_detect_staged_wps is the same staged program at
+             S=81 (the PROFILE.md scaling headline)
   pallas_ok / pallas_kde_tie_flips / pallas_mobius_maxdiff — on-chip
              equivalence of the hand-tiled Mosaic kernels vs their jnp
              references, re-proven on every bench run. mobius_linear_fused
@@ -275,6 +277,23 @@ def main():
                                        "uncertainty",
                                        staged=fleet_staged)[-1], n_fleet_win)
 
+    # 81-model fleet detection on the staged stack — the scaling headline
+    # (PROFILE.md "Fleet scaling": the vmapped program stays ~flat in S,
+    # ~1.8M windows/s aggregate on one chip)
+    S81 = 81
+    fleet81_X = [np.asarray(data.X[: len(data.X) - (i % 3)], np.float32)
+                 for i in range(S81)]
+    fd81_params = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (S81,) + x.shape), state.params)
+    f81Xs, f81n = fl.pad_and_stack(fleet81_X)
+    fleet81_staged = (jax.device_put(jnp.asarray(f81Xs), dev0), f81n)
+    fleet81_detect_staged_wps = _throughput(
+        lambda: sc.detect_scores_fleet(fd81_params, fleet81_X, True,
+                                       "uncertainty",
+                                       staged=fleet81_staged)[-1],
+        sum(len(x) for x in fleet81_X))
+    del fleet81_staged, fd81_params
+
     # ---- SMAP A-1 hyperbolic epoch (separate train split, 2780 windows —
     # the second PARITY headline; driver-reproducible per VERDICT r2 item 4)
     smap_csv = os.path.join(data_root, "A-1-train.csv")
@@ -319,6 +338,7 @@ def main():
         f"detect_20k={detect_20k_wps:.0f}w/s "
         f"fleet9_detect={fleet_detect_wps:.0f}w/s "
         f"fleet9_detect_staged={fleet_detect_staged_wps:.0f}w/s "
+        f"fleet81_detect_staged={fleet81_detect_staged_wps:.0f}w/s "
         f"eucl_dtw_scoring={eucl_wps:.0f}w/s pallas_ok={pallas_ok} "
         f"(kde_tie_flips={kde_flips}, mobius_maxdiff={ml_maxdiff})",
         file=sys.stderr,
@@ -351,6 +371,7 @@ def main():
             "detect_20k_wps": round(detect_20k_wps),
             "fleet9_detect_wps": round(fleet_detect_wps),
             "fleet9_detect_staged_wps": round(fleet_detect_staged_wps),
+            "fleet81_detect_staged_wps": round(fleet81_detect_staged_wps),
             "fleet9_detect_speedup_vs_sequential": round(
                 fleet_detect_wps / detect_e2e_wps, 2),
             "fleet9_detect_vs_baseline": round(
