@@ -372,8 +372,13 @@ def main():
             "fleet9_detect_wps": round(fleet_detect_wps),
             "fleet9_detect_staged_wps": round(fleet_detect_staged_wps),
             "fleet81_detect_staged_wps": round(fleet81_detect_staged_wps),
+            # like-for-like regimes: the upload-paying fleet vs 9 sequential
+            # upload-paying one-calls; the staged fleet vs 9 sequential
+            # device-resident one-calls
             "fleet9_detect_speedup_vs_sequential": round(
-                fleet_detect_wps / detect_e2e_wps, 2),
+                fleet_detect_wps / detect_upload_wps, 2),
+            "fleet9_detect_staged_speedup_vs_sequential": round(
+                fleet_detect_staged_wps / detect_e2e_wps, 2),
             "fleet9_detect_vs_baseline": round(
                 fleet_detect_wps / REF_DETECT_WPS, 2),
             "eucl_dtw_scoring_wps": round(eucl_wps),

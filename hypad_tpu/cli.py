@@ -163,7 +163,9 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
     ``seeds: [...]`` config list) trains the config's ONE signal as a
     SEED BAND — S replicas with per-signal key streams identical to S
     sequential ``train`` runs at those seeds (the PARITY.md seed-band
-    protocol in one program); run dirs are nested under ``seed_{k}/``.
+    protocol in one program; bitwise == sequential on CPU, statistically
+    equivalent on TPU — train_fleet docstring); run dirs are nested under
+    ``seed_{k}/``. A config ``signals:`` list is ignored in band mode.
     """
     import argparse as ap
     import copy
@@ -175,15 +177,31 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
     from hypad_tpu.utils import checkpoint as ck
     from hypad_tpu.utils.profiling import stage
 
-    signals = signals or getattr(params, "signals", None)
-    seeds = seeds or getattr(params, "seeds", None)
-    if seeds is not None and signals:
+    if signals and seeds:
         raise SystemExit("sweep takes --signals or --seeds, not both")
+    seeds = seeds if seeds is not None else getattr(params, "seeds", None)
     if seeds is not None:
+        # a seed band trains the config's ONE signal; a `signals:` list in
+        # the config is ignored (the explicit flag pair above still errors)
         signals = [params.signal] * len(seeds)
+    else:
+        signals = signals or getattr(params, "signals", None)
     if not signals:
         raise SystemExit("sweep needs a `signals:` list in the config, "
                          "--signals a,b,c, or --seeds 0,1,2")
+
+    # fleet detection is univariate-only — reject multivariate configs
+    # BEFORE hours of training, not in the detection epilogue
+    from hypad_tpu.data.registry import MULTIVARIATE_DATASETS
+
+    if (params.signal == "multivariate"
+            or params.dataset in MULTIVARIATE_DATASETS):
+        raise SystemExit("sweep is univariate-only (fleet detection); run "
+                         "multivariate configs through `train`/`detect`")
+    if getattr(params, "save_artifacts", True) and not params.load:
+        print("sweep detection is scores-only: inference artifacts are NOT "
+              "persisted (save_artifacts ignored; use per-signal `detect` "
+              "for artifact caching)")
 
     per = []
     for i, s in enumerate(signals):
@@ -193,7 +211,16 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
             p.seed = int(seeds[i])
             p.output_root = os.path.join(params.output_root,
                                          f"seed_{p.seed}")
-        train_data, test_data, read_path, path = _build(p)
+        if seeds is not None and i > 0:
+            # a band's replicas share one dataset build (identical data);
+            # only the run dir differs per seed
+            from hypad_tpu.utils.config import run_dir
+
+            train_data, test_data, read_path = per[0][1], per[0][2], \
+                per[0][3]
+            path = run_dir(p)
+        else:
+            train_data, test_data, read_path, path = _build(p)
         # snapshot the EFFECTIVE params (swept signal / band seed), not the
         # config file — so `hypad detect --config <run>/config.yaml`
         # re-enters THIS run

@@ -78,15 +78,14 @@ def detect(params, state_params, test_data, run_path, read_path="",
     # device program (scorer.detect_scores), univariate and multivariate
     # alike. Cached re-runs use the staged functions on the stored tensors.
     if precomputed_scores is not None:
-        assert not is_mv, "fleet scores are univariate-only"
+        if is_mv:
+            raise ValueError("fleet scores are univariate-only")
         final_scores = np.asarray(precomputed_scores)
-        intervals = iv.find_anomalies(
-            final_scores.reshape(-1), np.asarray(test_data.index),
-            window_size_portion=0.33, window_step_size_portion=0.1,
-            fixed_threshold=True)
+        true_index = np.asarray(test_data.index)
+        intervals = _univariate_intervals(final_scores, true_index)
         return _host_epilogue(params, final_scores, intervals,
                               known_anomalies, run_path, save_plots, is_mv,
-                              np.asarray(test_data.index))
+                              true_index)
 
     one_call_scores = None
     save_artifacts = getattr(params, "save_artifacts", True) or params.load
@@ -159,13 +158,22 @@ def detect(params, state_params, test_data, run_path, read_path="",
             compute = lambda: one_call_scores  # noqa: E731
         final_scores = artifacts.cache_scores(run_path, cache_key, compute,
                                               enabled=params.load)
-        intervals = iv.find_anomalies(
-            np.asarray(final_scores).reshape(-1), true_index,
-            window_size_portion=0.33, window_step_size_portion=0.1,
-            fixed_threshold=True)
+        intervals = _univariate_intervals(np.asarray(final_scores),
+                                          true_index)
 
     return _host_epilogue(params, final_scores, intervals, known_anomalies,
                           run_path, save_plots, is_mv, true_index)
+
+
+def _univariate_intervals(final_scores, true_index):
+    """Univariate interval extraction — the reference's fixed parameters
+    (anomaly_detection.py:64-69: 0.33/0.1 windows, fixed threshold); ONE
+    definition shared by the device path and the fleet (precomputed-scores)
+    path so a tuning change cannot diverge them."""
+    return iv.find_anomalies(
+        final_scores.reshape(-1), true_index,
+        window_size_portion=0.33, window_step_size_portion=0.1,
+        fixed_threshold=True)
 
 
 def _host_epilogue(params, final_scores, intervals, known_anomalies,

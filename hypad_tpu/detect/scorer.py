@@ -757,10 +757,13 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
         Xs_full, n_staged = staged
         S = len(X_list)
         n_real = np.asarray([x.shape[0] for x in X_list], np.int32)
-        assert Xs_full.shape[0] >= S and Xs_full.shape[1] >= n_real.max(), \
-            "staged stack does not cover the requested family"
-        assert (np.asarray(n_staged)[:S] == n_real).all(), \
-            "staged window counts disagree with X_list"
+        if Xs_full.shape[0] < S or Xs_full.shape[1] < n_real.max():
+            raise ValueError("staged stack does not cover the requested "
+                             f"family: {Xs_full.shape} vs {S} signals of "
+                             f"up to {int(n_real.max())} windows")
+        if not (np.asarray(n_staged)[:S] == n_real).all():
+            raise ValueError("staged window counts disagree with X_list — "
+                             "stale stack?")
         Xs = Xs_full[:S]
     else:
         Xs, n_real = pad_and_stack(

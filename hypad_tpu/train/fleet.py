@@ -191,8 +191,15 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
     (``fold_in(PRNGKey(seed_i), epoch)`` chunk keys, split within chunks),
     so a SEED BAND of one signal trains as a fleet in one program
     (`hypad sweep --seeds`); overrides ``seed``. Equal-length multi-seed
-    fleets are bitwise-identical to the sequential runs
-    (tests/test_fleet.py).
+    fleets draw the SAME key stream as the sequential runs and are
+    bitwise-identical to them on CPU (tests/test_fleet.py); on TPU the
+    vmapped (S, B, W) matmuls tile differently than sequential (B, W)
+    ones, so last-bit float differences make on-chip band entries
+    distribution-equivalent draws rather than bit-reproductions
+    (PARITY.md A3/A4 note). On a mesh, seed bands are padded to a device
+    multiple with REPLICAS (not ragged-forcing dummies) to preserve the
+    sequential stream. Mixed-length multi-seed fleets run the ragged
+    stream, which does NOT reproduce sequential runs bit-for-bit.
 
     ``return_staged``: also return the DEVICE-RESIDENT padded window stack
     as ``(states, (Xs, n_real))`` so unique-dataset sweeps (test == train)
@@ -208,6 +215,18 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
     if mesh is not None:
         ndev = int(mesh.devices.size)
         n_pad = (-S) % ndev
+    if seeds is not None and len(lens) == 1 and n_pad and ragged is not True:
+        # equal-length seed band on a mesh: replicate the last signal
+        # instead of dummy-padding — dummies force ragged mode, whose
+        # shuffle stream breaks the band's promised bitwise equality to
+        # sequential runs; replicas keep the non-ragged stream and are
+        # simply ignored by the caller (unstack_state over the real S)
+        X_list = list(X_list) + [X_list[-1]] * n_pad
+        seeds = list(seeds) + [seeds[-1]] * n_pad
+        states = stack_states(
+            [unstack_state(states, i) for i in range(S)]
+            + [unstack_state(states, S - 1)] * n_pad)
+        S, n_pad = len(X_list), 0
     need_ragged = len(lens) > 1 or n_pad > 0
     if ragged is None:
         ragged = need_ragged

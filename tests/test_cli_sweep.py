@@ -7,6 +7,7 @@ main.py per signal, main.py:14-70)."""
 
 import os
 
+import pytest
 import yaml
 
 NAB_DATA = "/root/reference/data"
@@ -88,6 +89,33 @@ def test_sweep_seed_band(tmp_path, capsys):
                / "models_eucl_NAB_1_0.0005" / "NAB" / "Twitter_volume_AAPL")
     cli.main(["detect", "--config", str(run_dir / "config.yaml")])
     assert "detection wall-clock" in capsys.readouterr().out
+
+
+def test_seeds_flag_overrides_config_signals(tmp_path, capsys):
+    """--seeds with a config that carries a signals: list trains the
+    config's ONE signal as a band (the list is ignored; only the explicit
+    --signals/--seeds flag pair errors)."""
+    from hypad_tpu import cli
+
+    cfg = {
+        "dataset": "NAB", "signal": "Twitter_volume_AAPL", "epochs": 0,
+        "hyperbolic": False, "signal_shape": 100, "batch_size": 64,
+        "lr": 5e-4, "rec_error": "point", "combination": "mult",
+        "unique_dataset": True,
+        "data_root": NAB_DATA, "output_root": str(tmp_path), "devices": 1,
+        "signals": ["Twitter_volume_AAPL", "Twitter_volume_AMZN"],
+    }
+    cfg_path = tmp_path / "nab.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    cli.main(["sweep", "--config", str(cfg_path), "--seeds", "5"])
+    out = capsys.readouterr().out
+    assert "--- Twitter_volume_AAPL (seed 5) ---" in out
+    assert "--- Twitter_volume_AMZN" not in out
+
+    with pytest.raises(SystemExit):
+        cli.main(["sweep", "--config", str(cfg_path),
+                  "--signals", "Twitter_volume_AAPL", "--seeds", "5"])
 
 
 def test_sweep_signals_flag_overrides_config(tmp_path, capsys):

@@ -81,6 +81,32 @@ def test_multi_seed_fleet_equals_sequential(n_epochs):
         _assert_bitwise(st, fl.unstack_state(fstate, i))
 
 
+def test_multi_seed_fleet_on_mesh_stays_sequential_stream():
+    """A seed band on a mesh is padded with REPLICAS, not ragged-forcing
+    dummies — S=2 seeds on the 8-device mesh must stay on the sequential
+    (non-ragged) RNG stream (the silent-raggedization regression). Sharded
+    placement may perturb last-bit float reassociation, so the comparison
+    is close-not-bitwise; a ragged-stream divergence is orders of
+    magnitude larger."""
+    mesh = make_mesh("all")
+    X = _toy_windows(96, seed=4)
+    band = [0, 5]
+    fstate = fl.init_fleet_state(
+        [init_tadgan(jax.random.PRNGKey(s), signal_shape=100,
+                     hyperbolic=False) for s in band],
+        lr=5e-4, hyperbolic=False)
+    fstate = fl.train_fleet(fstate, [X, X], lr=5e-4, hyperbolic=False,
+                            batch_size=32, n_epochs=2, seeds=band,
+                            mesh=mesh)
+    for i, s in enumerate(band):
+        st = tr.init_train_state(
+            init_tadgan(jax.random.PRNGKey(s), signal_shape=100,
+                        hyperbolic=False), lr=5e-4, hyperbolic=False)
+        st = tr.train_tadgan(st, X, lr=5e-4, hyperbolic=False,
+                             batch_size=32, n_epochs=2, seed=s)
+        _assert_close(st, fl.unstack_state(fstate, i))
+
+
 def test_ragged_fleet_matches_unvmapped_body():
     """A mixed-length fleet == the un-vmapped ragged epoch body run per
     signal with the same key schedule (vmap adds nothing numerically)."""

@@ -112,7 +112,7 @@ def test_fleet_detect_staged_mismatch_raises():
     stacked, params, X_list = _family(False)
     bad = (np.zeros((3, 50, W), np.float32),
            np.asarray([len(x) for x in X_list], np.int32))
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         sc.detect_scores_fleet(stacked, X_list, False, "mult", staged=bad)
 
 
