@@ -9,12 +9,13 @@ Mirrors the reference surface:
     ``resume_epoch`` to score a specific epoch's checkpoint)
   * invoking without a subcommand behaves like ``train`` (the reference's
     single-entry style).
-  * ``python -m hypad_tpu.cli sweep --config cfg.yaml [--signals a,b,c]``
-    — capability extension with no reference equivalent: trains a whole
-    signal family in ONE vmapped fleet program (train/fleet.py), scores it
-    in ONE vmapped fleet detection program (detect/scorer), and writes
-    per-signal results into the same run dirs the per-signal ``train``
-    would use.
+  * ``python -m hypad_tpu.cli sweep --config cfg.yaml [--signals a,b,c]
+    [--seeds 0,1,2]`` — capability extension with no reference
+    equivalent: trains a whole signal family (and/or a seed band; both =
+    the cross product) in ONE vmapped fleet program (train/fleet.py),
+    scores it in ONE vmapped fleet detection program (detect/scorer), and
+    writes per-run results into the same run dirs per-signal ``train``
+    runs would use.
 """
 
 from __future__ import annotations
@@ -159,13 +160,17 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
     fall back to the per-signal cached path.
 
     Signals come from a ``signals: [...]`` list in the config or the
-    ``--signals a,b,c`` flag. Alternatively ``--seeds 0,1,2`` (or a
-    ``seeds: [...]`` config list) trains the config's ONE signal as a
-    SEED BAND — S replicas with per-signal key streams identical to S
-    sequential ``train`` runs at those seeds (the PARITY.md seed-band
-    protocol in one program; bitwise == sequential on CPU, statistically
-    equivalent on TPU — train_fleet docstring); run dirs are nested under
-    ``seed_{k}/``. A config ``signals:`` list is ignored in band mode.
+    ``--signals a,b,c`` flag. ``--seeds 0,1,2`` (or a ``seeds: [...]``
+    config list) trains the config's ONE signal as a SEED BAND — S
+    replicas with per-signal key streams identical to S sequential
+    ``train`` runs at those seeds (the PARITY.md seed-band protocol in
+    one program; bitwise == sequential on CPU, statistically equivalent
+    on TPU — train_fleet docstring); run dirs are nested under
+    ``seed_{k}/``. Giving BOTH trains the full signals x seeds CROSS
+    PRODUCT in one fleet program (the multi-seed family-aggregate
+    protocol behind PARITY.md's A3/A4 tables: 8 signals x 3 seeds = 24
+    models, one program). A --seeds flag with only a config ``signals:``
+    list is a band of the config's signal (the list is ignored).
     """
     import argparse as ap
     import copy
@@ -177,18 +182,22 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
     from hypad_tpu.utils import checkpoint as ck
     from hypad_tpu.utils.profiling import stage
 
-    if signals and seeds:
-        raise SystemExit("sweep takes --signals or --seeds, not both")
+    explicit_signals = signals
     seeds = seeds if seeds is not None else getattr(params, "seeds", None)
-    if seeds is not None:
+    if seeds is not None and explicit_signals:
+        # cross product: every (signal, seed) pair trains as one fleet
+        # entry in a single program
+        pairs = [(sig, int(sd)) for sig in explicit_signals for sd in seeds]
+    elif seeds is not None:
         # a seed band trains the config's ONE signal; a `signals:` list in
-        # the config is ignored (the explicit flag pair above still errors)
-        signals = [params.signal] * len(seeds)
+        # the config is ignored
+        pairs = [(params.signal, int(sd)) for sd in seeds]
     else:
         signals = signals or getattr(params, "signals", None)
-    if not signals:
-        raise SystemExit("sweep needs a `signals:` list in the config, "
-                         "--signals a,b,c, or --seeds 0,1,2")
+        if not signals:
+            raise SystemExit("sweep needs a `signals:` list in the config, "
+                             "--signals a,b,c, or --seeds 0,1,2")
+        pairs = [(sig, None) for sig in signals]
 
     # fleet detection is univariate-only — reject multivariate configs
     # BEFORE hours of training, not in the detection epilogue
@@ -203,24 +212,22 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
               "persisted (save_artifacts ignored; use per-signal `detect` "
               "for artifact caching)")
 
+    from hypad_tpu.utils.config import run_dir
+
     per = []
-    for i, s in enumerate(signals):
+    data_cache = {}  # one dataset build per signal, shared across seeds
+    for s, sd in pairs:
         p = ap.Namespace(**copy.deepcopy(vars(params)))
         p.signal = s
-        if seeds is not None:
-            p.seed = int(seeds[i])
-            p.output_root = os.path.join(params.output_root,
-                                         f"seed_{p.seed}")
-        if seeds is not None and i > 0:
-            # a band's replicas share one dataset build (identical data);
-            # only the run dir differs per seed
-            from hypad_tpu.utils.config import run_dir
-
-            train_data, test_data, read_path = per[0][1], per[0][2], \
-                per[0][3]
+        if sd is not None:
+            p.seed = sd
+            p.output_root = os.path.join(params.output_root, f"seed_{sd}")
+        if s in data_cache:
+            train_data, test_data, read_path = data_cache[s]
             path = run_dir(p)
         else:
             train_data, test_data, read_path, path = _build(p)
+            data_cache[s] = (train_data, test_data, read_path)
         # snapshot the EFFECTIVE params (swept signal / band seed), not the
         # config file — so `hypad detect --config <run>/config.yaml`
         # re-enters THIS run
@@ -242,7 +249,7 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
 
     def log_cb(epoch, metrics):
         row = {"epoch": int(epoch),
-               **{k: [float(x) for x in np.asarray(v)[: len(signals)]]
+               **{k: [float(x) for x in np.asarray(v)[: len(per)]]
                   for k, v in metrics.items()}}
         with open(log_path, "a") as f:
             f.write(json.dumps(row) + "\n")
@@ -252,7 +259,7 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
               f"critic x {mean['critic_x_loss']:.3f} "
               f"critic z {mean['critic_z_loss']:.3f} "
               f"decoder {mean['decoder_loss']:.3f} "
-              f"rec {mean['rec_loss']:.6f} (mean of {len(signals)})")
+              f"rec {mean['rec_loss']:.6f} (mean of {len(per)})")
 
     def ckpt_cb(epoch, stacked):
         host = jax.device_get(stacked)
@@ -266,12 +273,13 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
             batch_size=params.batch_size, n_epochs=params.epochs,
             seed=params.seed, mesh=mesh, log_cb=log_cb,
             checkpoint_cb=ckpt_cb, return_staged=True,
-            seeds=[int(s) for s in seeds] if seeds is not None else None)
+            seeds=([sd for (_, sd) in pairs] if seeds is not None
+                   else None))
     wall = time.time() - t0
-    print(f"sweep training wall-clock: {wall:.2f}s for {len(signals)} "
-          f"signals x {params.epochs} epochs "
+    print(f"sweep training wall-clock: {wall:.2f}s for {len(per)} "
+          f"models x {params.epochs} epochs "
           f"({wall / max(params.epochs, 1):.3f}s/fleet-epoch, "
-          f"{wall / max(params.epochs * len(signals), 1):.4f}"
+          f"{wall / max(params.epochs * len(per), 1):.4f}"
           f"s/signal-epoch)")
 
     host_state = jax.device_get(fstate)

@@ -7,7 +7,6 @@ main.py per signal, main.py:14-70)."""
 
 import os
 
-import pytest
 import yaml
 
 NAB_DATA = "/root/reference/data"
@@ -93,8 +92,7 @@ def test_sweep_seed_band(tmp_path, capsys):
 
 def test_seeds_flag_overrides_config_signals(tmp_path, capsys):
     """--seeds with a config that carries a signals: list trains the
-    config's ONE signal as a band (the list is ignored; only the explicit
-    --signals/--seeds flag pair errors)."""
+    config's ONE signal as a band (the list is ignored)."""
     from hypad_tpu import cli
 
     cfg = {
@@ -113,9 +111,35 @@ def test_seeds_flag_overrides_config_signals(tmp_path, capsys):
     assert "--- Twitter_volume_AAPL (seed 5) ---" in out
     assert "--- Twitter_volume_AMZN" not in out
 
-    with pytest.raises(SystemExit):
-        cli.main(["sweep", "--config", str(cfg_path),
-                  "--signals", "Twitter_volume_AAPL", "--seeds", "5"])
+
+def test_sweep_cross_product(tmp_path, capsys):
+    """--signals x --seeds trains every (signal, seed) pair in one fleet
+    program, each in its own seed_{k}/ run tree."""
+    from hypad_tpu import cli
+
+    cfg = {
+        "dataset": "NAB", "signal": "Twitter_volume_AAPL", "epochs": 1,
+        "hyperbolic": False, "signal_shape": 100, "batch_size": 64,
+        "lr": 5e-4, "rec_error": "point", "combination": "mult",
+        "unique_dataset": True,
+        "data_root": NAB_DATA, "output_root": str(tmp_path), "devices": 1,
+    }
+    cfg_path = tmp_path / "nab.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    cli.main(["sweep", "--config", str(cfg_path),
+              "--signals", "Twitter_volume_AAPL,Twitter_volume_AMZN",
+              "--seeds", "0,2"])
+    out = capsys.readouterr().out
+    for sig in ("Twitter_volume_AAPL", "Twitter_volume_AMZN"):
+        for k in (0, 2):
+            assert f"--- {sig} (seed {k}) ---" in out
+            run_dir = (tmp_path / f"seed_{k}" / "trained_models"
+                       / "models_eucl_NAB_1_0.0005" / "NAB" / sig)
+            assert (run_dir / "state_final").exists()
+            snap = yaml.safe_load((run_dir / "config.yaml").read_text())
+            assert snap["seed"] == k and snap["signal"] == sig
+    assert "for 4 models x 1 epochs" in out
 
 
 def test_sweep_signals_flag_overrides_config(tmp_path, capsys):
