@@ -9,6 +9,13 @@ Mirrors the reference surface:
     ``resume_epoch`` to score a specific epoch's checkpoint)
   * invoking without a subcommand behaves like ``train`` (the reference's
     single-entry style).
+  * ``detect --rec-errors point,dtw --combinations mult,sum`` (or
+    ``--combinations all``) — grid detection: every (rec_error x
+    combination) cell scored from ONE device program
+    (detect/scorer.detect_scores_grid) with per-cell metrics and a
+    ``grid_results.csv`` in the run dir; the TPU-native form of the
+    reference's README-documented detection sweep (reference
+    README.md:87-89, one ``anomaly_detection.py`` re-run per cell).
   * ``python -m hypad_tpu.cli sweep --config cfg.yaml [--signals a,b,c]
     [--seeds 0,1,2]`` — capability extension with no reference
     equivalent: trains a whole signal family (and/or a seed band; both =
@@ -145,7 +152,8 @@ def _run_detection(params, model_params, test_data, path, read_path,
     return result
 
 
-def cmd_sweep(params, config_path, signals=None, seeds=None):
+def cmd_sweep(params, config_path, signals=None, seeds=None,
+              detect_only=False):
     """Train + detect a whole signal family in ONE fused fleet program.
 
     Capability extension over the reference (which re-runs ``train.py`` per
@@ -158,6 +166,15 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
     ``detect``/resume re-enter unchanged per signal. Sweep detection is
     scores-only (no inference-artifact persistence); ``load: true`` configs
     fall back to the per-signal cached path.
+
+    ``detect_only=True`` (CLI ``--detect-only``) skips training and
+    restores each pair's saved checkpoint from its run dir instead (tag =
+    ``resume_epoch`` when ``resume: true``, else ``final`` — the
+    reference's detect-only entry semantics, anomaly_detection.py:211-222),
+    then runs the SAME one-program fleet detection + per-signal epilogues.
+    The family-scale twin of ``detect``: re-score a trained family under a
+    new ``combination``/``rec_error`` without retraining or per-signal
+    re-compiles.
 
     Signals come from a ``signals: [...]`` list in the config or the
     ``--signals a,b,c`` flag. ``--seeds 0,1,2`` (or a ``seeds: [...]``
@@ -228,18 +245,32 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
         else:
             train_data, test_data, read_path, path = _build(p)
             data_cache[s] = (train_data, test_data, read_path)
-        # snapshot the EFFECTIVE params (swept signal / band seed), not the
-        # config file — so `hypad detect --config <run>/config.yaml`
-        # re-enters THIS run
-        ck.snapshot_effective(path, p)
+        if not detect_only:
+            # snapshot the EFFECTIVE params (swept signal / band seed), not
+            # the config file — so `hypad detect --config <run>/config.yaml`
+            # re-enters THIS run (detect-only keeps the training snapshot)
+            ck.snapshot_effective(path, p)
         per.append((p, train_data, test_data, read_path, path))
 
     mesh = make_mesh(params.devices)
-    with jax.default_device(jax.devices("cpu")[0]):
-        fstate = fl.init_fleet_state([_init_models(p) for (p, *_) in per],
-                                     lr=params.lr,
-                                     hyperbolic=params.hyperbolic)
-    fstate = jax.device_put(fstate, jax.devices()[0])
+    if detect_only:
+        # family-scale detect-only re-entry: restore every pair's saved
+        # checkpoint (the states per-signal `train`/`sweep` runs wrote) and
+        # go straight to the one-program fleet detection below
+        tag = params.resume_epoch if params.resume else "final"
+        # stack on host (np), then ONE bulk device_put — per-leaf jnp.stack
+        # would pay a tunnel round-trip per tensor (CLAUDE.md gotcha)
+        stacked_params = jax.device_put(jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *[ck.restore_state(path, tag).params
+              for (_, _, _, _, path) in per]), jax.devices()[0])
+        staged = None
+    else:
+        with jax.default_device(jax.devices("cpu")[0]):
+            fstate = fl.init_fleet_state(
+                [_init_models(p) for (p, *_) in per],
+                lr=params.lr, hyperbolic=params.hyperbolic)
+        fstate = jax.device_put(fstate, jax.devices()[0])
 
     X_list = [np.asarray(td.X, np.float32) for (_, td, *_) in per]
 
@@ -247,7 +278,7 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
 
     log_path = os.path.join(per[0][4], "sweep_log.jsonl")
 
-    def log_cb(epoch, metrics):
+    def log_cb(epoch, metrics):  # noqa: F811 — unused in detect-only mode
         row = {"epoch": int(epoch),
                **{k: [float(x) for x in np.asarray(v)[: len(per)]]
                   for k, v in metrics.items()}}
@@ -266,23 +297,26 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
         for i, (_, _, _, _, path) in enumerate(per):
             ck.save_state(path, fl.unstack_state(host, i), epoch)
 
-    t0 = time.time()
-    with stage("sweep_train"):
-        fstate, staged = fl.train_fleet(
-            fstate, X_list, lr=params.lr, hyperbolic=params.hyperbolic,
-            batch_size=params.batch_size, n_epochs=params.epochs,
-            seed=params.seed, mesh=mesh, log_cb=log_cb,
-            checkpoint_cb=ckpt_cb, return_staged=True,
-            seeds=([sd for (_, sd) in pairs] if seeds is not None
-                   else None))
-    wall = time.time() - t0
-    print(f"sweep training wall-clock: {wall:.2f}s for {len(per)} "
-          f"models x {params.epochs} epochs "
-          f"({wall / max(params.epochs, 1):.3f}s/fleet-epoch, "
-          f"{wall / max(params.epochs * len(per), 1):.4f}"
-          f"s/signal-epoch)")
+    if not detect_only:
+        t0 = time.time()
+        with stage("sweep_train"):
+            fstate, staged = fl.train_fleet(
+                fstate, X_list, lr=params.lr, hyperbolic=params.hyperbolic,
+                batch_size=params.batch_size, n_epochs=params.epochs,
+                seed=params.seed, mesh=mesh, log_cb=log_cb,
+                checkpoint_cb=ckpt_cb, return_staged=True,
+                seeds=([sd for (_, sd) in pairs] if seeds is not None
+                       else None))
+        wall = time.time() - t0
+        print(f"sweep training wall-clock: {wall:.2f}s for {len(per)} "
+              f"models x {params.epochs} epochs "
+              f"({wall / max(params.epochs, 1):.3f}s/fleet-epoch, "
+              f"{wall / max(params.epochs * len(per), 1):.4f}"
+              f"s/signal-epoch)")
 
-    host_state = jax.device_get(fstate)
+        host_state = jax.device_get(fstate)
+        stacked_params = jax.tree_util.tree_map(
+            lambda x: x[: len(per)], fstate.params)
 
     # detection side of the fleet: every signal's forward + scoring in ONE
     # vmapped program (scorer.detect_scores_fleet) instead of S per-shape
@@ -294,8 +328,6 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
     if not params.load:
         from hypad_tpu.detect.scorer import detect_scores_fleet
 
-        stacked_params = jax.tree_util.tree_map(
-            lambda x: x[: len(per)], fstate.params)
         # unique-dataset families test on their training windows — reuse
         # the trainer's device-resident padded stack instead of paying the
         # host pad + tunnel upload again (dominant at large S; scorer doc)
@@ -313,13 +345,15 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
               f"signals / {n_win} windows in one program "
               f"({n_win / dwall:.1f} windows/sec)")
 
+    host_params = jax.device_get(stacked_params)
     results = []
     for i, (p, train_data, test_data, read_path, path) in enumerate(per):
-        st_i = fl.unstack_state(host_state, i)
-        ck.save_state(path, st_i, "final")
+        if not detect_only:
+            ck.save_state(path, fl.unstack_state(host_state, i), "final")
+        p_i = fl.unstack_state(host_params, i)
         tag = f" (seed {p.seed})" if seeds is not None else ""
         print(f"--- {p.signal}{tag} ---")
-        res = _run_detection(p, st_i.params, test_data, path, read_path,
+        res = _run_detection(p, p_i, test_data, path, read_path,
                              mesh=mesh, precomputed_scores=fleet_scores[i])
         m = res["metrics"]
         results.append((p.signal, m["f1"] if m else None))
@@ -330,7 +364,7 @@ def cmd_sweep(params, config_path, signals=None, seeds=None):
     return results
 
 
-def cmd_detect(params, config_path):
+def cmd_detect(params, config_path, rec_errors=None, combinations=None):
     from hypad_tpu.parallel.mesh import make_mesh
     from hypad_tpu.utils import checkpoint as ck
 
@@ -346,6 +380,23 @@ def cmd_detect(params, config_path):
 
         model_params = jax.device_put(
             model_params, NamedSharding(mesh, PartitionSpec()))
+    if rec_errors or combinations:
+        # grid detection: every (rec_error x combination) cell from ONE
+        # device program — the TPU-native form of the reference's
+        # README-documented detection sweep (re-run per cell + load: true)
+        from hypad_tpu.detect.detector import detect_grid
+        from hypad_tpu.utils.profiling import stage
+
+        t0 = time.time()
+        with stage("detect_grid"):
+            results = detect_grid(
+                params, model_params, test_data, path, read_path=read_path,
+                rec_errors=rec_errors, combinations=combinations, mesh=mesh)
+        wall = time.time() - t0
+        print(f"grid detection wall-clock: {wall:.2f}s for "
+              f"{len(results)} cells in one program "
+              f"(results -> {os.path.join(path, 'grid_results.csv')})")
+        return results
     return _run_detection(params, model_params, test_data, path, read_path,
                           mesh=mesh)
 
@@ -367,6 +418,18 @@ def main(argv=None):
                         help="comma-separated seed list for `sweep`: train "
                              "the config's signal as a seed band in one "
                              "fleet program")
+    parser.add_argument("--detect-only", action="store_true",
+                        help="`sweep`: skip training; restore each "
+                             "signal/seed run's saved checkpoint and run "
+                             "the one-program fleet detection + epilogues")
+    parser.add_argument("--rec-errors", type=str, default=None,
+                        help="comma-separated rec_error list for `detect`: "
+                             "score every (rec_error x combination) cell "
+                             "from one device program (grid detection)")
+    parser.add_argument("--combinations", type=str, default=None,
+                        help="comma-separated combination list for "
+                             "`detect` grid detection ('all' = every mode "
+                             "valid for the config's path)")
     args = parser.parse_args(argv)
 
     from hypad_tpu.utils.config import load_config
@@ -381,9 +444,23 @@ def main(argv=None):
         cmd_sweep(params, args.config,
                   signals=(args.signals.split(",") if args.signals
                            else None),
-                  seeds=(args.seeds.split(",") if args.seeds else None))
+                  seeds=(args.seeds.split(",") if args.seeds else None),
+                  detect_only=args.detect_only)
     else:
-        cmd_detect(params, args.config)
+        combos = args.combinations.split(",") if args.combinations else None
+        if combos == ["all"]:
+            from hypad_tpu.data.registry import MULTIVARIATE_DATASETS
+            from hypad_tpu.detect.scorer import CRITIC_COMBOS, EUCL_COMBOS
+
+            hyper_like = (params.hyperbolic
+                          or params.signal == "multivariate"
+                          or params.dataset in MULTIVARIATE_DATASETS)
+            combos = list(CRITIC_COMBOS + ("rec", "rec_uncertainty")
+                          if hyper_like else EUCL_COMBOS)
+        cmd_detect(params, args.config,
+                   rec_errors=(args.rec_errors.split(",")
+                               if args.rec_errors else None),
+                   combinations=combos)
 
     if args.profile:
         from hypad_tpu.utils.profiling import report

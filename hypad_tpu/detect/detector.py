@@ -165,6 +165,90 @@ def detect(params, state_params, test_data, run_path, read_path="",
                           run_path, save_plots, is_mv, true_index)
 
 
+def detect_grid(params, state_params, test_data, run_path, read_path="",
+                rec_errors=None, combinations=None, known_anomalies=None,
+                mesh=None):
+    """Grid detection: every (rec_error x combination) cell scored from ONE
+    device program (scorer.detect_scores_grid), then each cell's host
+    epilogue (intervals -> confusion -> metrics) and one cumulative
+    ``grid_results.csv`` in the run dir.
+
+    Replaces the reference's sweep workflow (README.md:87-89): re-running
+    ``anomaly_detection.py`` once per (rec_error, combination) with
+    ``load: true`` artifact reuse — one process start + full scoring
+    dispatch per cell. Here the grid is one compiled program and one
+    transfer; each cell adds only its ~ms host epilogue.
+
+    Returns ``{(rec_error|None, combination): result_dict}`` with the same
+    per-cell result shape as ``detect`` (scores, intervals, confusion,
+    metrics)."""
+    os.makedirs(run_path, exist_ok=True)
+    from hypad_tpu.data.registry import MULTIVARIATE_DATASETS
+
+    is_mv = (params.signal == "multivariate"
+             or params.dataset in MULTIVARIATE_DATASETS)
+
+    if known_anomalies is None:
+        if is_mv:
+            known_anomalies = _multivariate_ground_truth(test_data)
+        elif params.dataset in ("A1", "A2", "A3", "A4"):
+            known_anomalies = test_data.known_anomalies
+        else:
+            known_anomalies = load_anomalies(params.signal, params.data_root)
+
+    if combinations is None:
+        combinations = [params.combination]
+    if rec_errors is None:
+        rec_errors = [params.rec_error]
+
+    X = getattr(test_data, "X_device", None)
+    if X is None:
+        X = test_data.X
+    grid = sc.detect_scores_grid(state_params, X, params.hyperbolic,
+                                 combinations, rec_errors=rec_errors,
+                                 mesh=mesh, multivariate=is_mv)
+
+    rows = []
+    results = {}
+    for (re_, cb), scores in grid.items():
+        scores = np.asarray(scores)
+        if is_mv:
+            intervals = iv.find_anomalies(
+                scores.reshape(-1), np.arange(len(scores)),
+                window_size_portion=0.2, window_step_size_portion=0.1,
+                fixed_threshold=True, anomaly_padding=200)
+            true_index = np.arange(len(scores))
+        else:
+            true_index = np.asarray(test_data.index)
+            intervals = _univariate_intervals(scores, true_index)
+        pred = (pd.DataFrame(intervals, columns=["start", "end", "score"])
+                if len(intervals) else
+                pd.DataFrame(columns=["start", "end", "score"]))
+        confusion, metrics = (0, 0, 0, 0), None
+        try:
+            confusion = mt.contextual_confusion_matrix(
+                known_anomalies, pred, weighted=False)
+            metrics = mt.compute_metrics(known_anomalies, pred,
+                                         verbose=False)
+        except ZeroDivisionError:
+            confusion = [0, 0, 0, 0]
+        results[(re_, cb)] = {"scores": scores, "intervals": intervals,
+                              "confusion": confusion, "metrics": metrics}
+        cell = cb if re_ is None else f"{re_}/{cb}"
+        m = metrics or {}
+        rows.append({"rec_error": re_ or "", "combination": cb,
+                     "tn": confusion[0], "fp": confusion[1],
+                     "fn": confusion[2], "tp": confusion[3],
+                     **{k: round(float(m[k]), 6) for k in
+                        ("precision", "recall", "f1", "gmean") if k in m}})
+        f1 = f"f1={m['f1']:.4f}" if "f1" in m else "no metrics"
+        print(f"[grid] {cell}: {f1} "
+              f"(tp={confusion[3]} fp={confusion[1]} fn={confusion[2]})")
+    pd.DataFrame(rows).to_csv(os.path.join(run_path, "grid_results.csv"),
+                              index=False)
+    return results
+
+
 def _univariate_intervals(final_scores, true_index):
     """Univariate interval extraction — the reference's fixed parameters
     (anomaly_detection.py:64-69: 0.33/0.1 windows, fixed threshold); ONE

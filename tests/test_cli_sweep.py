@@ -52,6 +52,18 @@ def test_sweep_cli_two_signal_nab(tmp_path, capsys):
     res = pd.read_csv(tmp_path / "results" / "nab_results.csv")
     assert list(res["signal"]) == cfg["signals"]
 
+    # ---- detect-only re-entry: restore the checkpoints just written and
+    # re-run the one-program fleet detection without retraining
+    first = base / cfg["signals"][0] / "anomalies.csv"
+    before = pd.read_csv(first)
+    cli.main(["sweep", "--config", str(cfg_path), "--detect-only"])
+    out = capsys.readouterr().out
+    assert "sweep training wall-clock" not in out
+    assert "fleet detection wall-clock" in out
+    assert "--- Twitter_volume_AMZN ---" in out
+    # same checkpoints -> same intervals as the training run's detection
+    pd.testing.assert_frame_equal(pd.read_csv(first), before)
+
 
 def test_sweep_seed_band(tmp_path, capsys):
     """--seeds trains the config's one signal as a seed band in one fleet

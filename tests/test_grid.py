@@ -1,0 +1,144 @@
+"""Grid detection (detect_scores_grid / detector.detect_grid / CLI
+--combinations): every (rec_error x combination) cell from ONE device
+program must equal the per-cell staged scorers.
+
+The reference serves this sweep by re-running anomaly_detection.py per cell
+with `load: true` (reference README.md:87-89); our grid is one traced
+program, so each cell is asserted against the independently-computed
+score_anomalies_* output.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from hypad_tpu.detect import scorer as sc
+from hypad_tpu.models.tadgan import init_tadgan
+
+HYPER_COMBOS = sc.CRITIC_COMBOS + ("rec", "rec_uncertainty")
+
+
+@pytest.fixture(scope="module")
+def windows():
+    rng = np.random.default_rng(40)
+    return rng.uniform(-1, 1, (300, 100)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def hyper_params():
+    return init_tadgan(jax.random.PRNGKey(31), signal_shape=100,
+                       hyperbolic=True)
+
+
+@pytest.fixture(scope="module")
+def eucl_params():
+    return init_tadgan(jax.random.PRNGKey(32), signal_shape=100,
+                       hyperbolic=False)
+
+
+def test_hyperbolic_grid_matches_per_cell(windows, hyper_params):
+    grid = sc.detect_scores_grid(hyper_params, windows, True, HYPER_COMBOS)
+    assert set(grid) == {(None, cb) for cb in HYPER_COMBOS}
+    inf = sc.run_inference(hyper_params, windows, True)
+    for cb in HYPER_COMBOS:
+        want = sc.score_anomalies_hyperbolic(inf, cb)
+        np.testing.assert_allclose(grid[(None, cb)], want, rtol=1e-6,
+                                   atol=1e-7, err_msg=cb)
+
+
+def test_euclidean_grid_matches_per_cell(windows, eucl_params):
+    recs = ("point", "area", "dtw")
+    grid = sc.detect_scores_grid(eucl_params, windows, False,
+                                 sc.EUCL_COMBOS, rec_errors=recs)
+    assert set(grid) == {(r, cb) for r in recs for cb in sc.EUCL_COMBOS}
+    inf = sc.run_inference(eucl_params, windows, False)
+    for r in recs:
+        for cb in sc.EUCL_COMBOS:
+            want = sc.score_anomalies_euclidean(
+                inf.true_signal, inf.recons_signal, inf.critic_score,
+                rec_error_type=r, comb=cb)
+            np.testing.assert_allclose(grid[(r, cb)], want, rtol=1e-6,
+                                       atol=1e-7, err_msg=f"{r}/{cb}")
+
+
+@pytest.mark.parametrize("hyperbolic", [True, False])
+def test_multivariate_grid_matches_per_cell(hyperbolic):
+    rng = np.random.default_rng(41)
+    X = rng.uniform(-1, 1, (400, 51)).astype(np.float32)
+    params = init_tadgan(jax.random.PRNGKey(33), signal_shape=51,
+                         hyperbolic=hyperbolic)
+    combos = ("mult", "uncertainty", "rec")
+    grid = sc.detect_scores_grid(params, X, hyperbolic, combos,
+                                 multivariate=True)
+    inf = sc.run_inference(params, X, hyperbolic)
+    for cb in combos:
+        want = sc.score_anomalies_multivariate(inf, cb, hyperbolic)
+        np.testing.assert_allclose(grid[(None, cb)], want, rtol=1e-6,
+                                   atol=1e-7, err_msg=cb)
+
+
+def test_grid_validates_cells(windows, eucl_params):
+    with pytest.raises(ValueError, match="combination"):
+        sc.detect_scores_grid(eucl_params, windows, False, ("uncertainty",))
+    with pytest.raises(ValueError, match="rec_error"):
+        sc.detect_scores_grid(eucl_params, windows, False, ("mult",),
+                              rec_errors=("median",))
+
+
+def test_grid_accepts_device_resident_windows(windows, hyper_params):
+    import jax.numpy as jnp
+
+    want = sc.detect_scores_grid(hyper_params, windows, True,
+                                 ("uncertainty",))
+    got = sc.detect_scores_grid(hyper_params,
+                                jax.device_put(jnp.asarray(windows)), True,
+                                ("uncertainty",))
+    np.testing.assert_array_equal(got[(None, "uncertainty")],
+                                  want[(None, "uncertainty")])
+
+
+def test_cli_grid_end_to_end(tmp_path):
+    """Train a tiny run, then `detect --combinations all --rec-errors ...`
+    must write grid_results.csv with one row per cell and per-cell metrics
+    that match an independent single-cell `detect` run."""
+    import pandas as pd
+    import yaml
+
+    from hypad_tpu import cli
+
+    cfg = {
+        "dataset": "NAB", "signal": "Twitter_volume_AAPL", "epochs": 1,
+        "hyperbolic": False, "signal_shape": 100, "batch_size": 64,
+        "lr": 5e-4, "rec_error": "point", "combination": "mult",
+        "unique_dataset": True,
+        "data_root": "/root/reference/data", "output_root": str(tmp_path),
+        "devices": 1,
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    cli.main(["train", "--config", str(cfg_path)])
+    cli.main(["detect", "--config", str(cfg_path),
+              "--rec-errors", "point,area", "--combinations", "all"])
+
+    run_dirs = [os.path.join(root, "grid_results.csv")
+                for root, _, files in os.walk(tmp_path)
+                if "grid_results.csv" in files]
+    assert len(run_dirs) == 1
+    table = pd.read_csv(run_dirs[0])
+    assert len(table) == 2 * len(sc.EUCL_COMBOS)
+    assert set(table["combination"]) == set(sc.EUCL_COMBOS)
+    assert set(table["rec_error"]) == {"point", "area"}
+
+    # the grid's (point, mult) cell == the plain single-cell detect run
+    from hypad_tpu.utils.config import load_config
+
+    params = load_config(dict(cfg))
+    single = cli.cmd_detect(params, str(cfg_path))
+    cell = table[(table["rec_error"] == "point")
+                 & (table["combination"] == "mult")].iloc[0]
+    assert (int(cell["tp"]), int(cell["fp"]), int(cell["fn"])) == (
+        int(single["confusion"][3]), int(single["confusion"][1]),
+        int(single["confusion"][2]))
