@@ -192,8 +192,8 @@ def main():
 
     # ---- euclidean NAB training epoch (the other half of the framework)
     nab_csv = os.path.join(data_root, "Twitter_volume_AAPL.csv")
-    _, _, eucl_epoch_s = _train_bench(False, nab_csv, False, 21600, mesh,
-                                      batch)
+    eucl_data, eucl_state, eucl_epoch_s = _train_bench(
+        False, nab_csv, False, 21600, mesh, batch)
 
     # ---- fleet: 9 hyperbolic models trained in ONE vmapped program
     # (train/fleet.py) on the same A1-sized windows; signal-epoch cost and
@@ -246,6 +246,28 @@ def main():
     X_dev = jax.device_put(jnp.asarray(data.X, jnp.float32), dev0)
     detect_e2e_wps = _throughput(lambda: detect(X_dev), len(data.X))
     detect_upload_wps = _throughput(lambda: detect(data.X), len(data.X))
+
+    # ---- grid detection: the full euclidean (rec_error x combination)
+    # grid — 3 x 4 = 12 cells, the reference's README-documented detection
+    # sweep (one anomaly_detection.py re-run per cell) — scored from ONE
+    # traced program on device-resident NAB windows (detect_scores_grid;
+    # the `detect --rec-errors ... --combinations all` CLI path)
+    from hypad_tpu.detect.scorer import EUCL_COMBOS, detect_scores_grid
+
+    Xe_dev = jax.device_put(jnp.asarray(eucl_data.X, jnp.float32), dev0)
+
+    def grid():
+        return detect_scores_grid(eucl_state.params, Xe_dev, False,
+                                  EUCL_COMBOS,
+                                  rec_errors=("point", "area", "dtw"),
+                                  mesh=mesh)
+
+    grid()  # warm (compile + remote fingerprint)
+    t0 = time.time()
+    out = grid()  # device_get inside forces completion of every cell
+    grid12_s = time.time() - t0
+    assert len(out) == 12
+    del out
 
     # the 20k-window regime (PARITY.md warm-path anatomy row), wired path
     rng = np.random.default_rng(3)
@@ -336,6 +358,7 @@ def main():
         f"detect_e2e={detect_e2e_wps:.0f}w/s "
         f"detect_upload={detect_upload_wps:.0f}w/s "
         f"detect_20k={detect_20k_wps:.0f}w/s "
+        f"grid12={grid12_s:.4f}s "
         f"fleet9_detect={fleet_detect_wps:.0f}w/s "
         f"fleet9_detect_staged={fleet_detect_staged_wps:.0f}w/s "
         f"fleet81_detect_staged={fleet81_detect_staged_wps:.0f}w/s "
@@ -369,6 +392,8 @@ def main():
                                             2),
             "detect_e2e_upload_wps": round(detect_upload_wps),
             "detect_20k_wps": round(detect_20k_wps),
+            "grid12_detect_s": round(grid12_s, 4),
+            "grid12_cells_per_s": round(12 / grid12_s, 2),
             "fleet9_detect_wps": round(fleet_detect_wps),
             "fleet9_detect_staged_wps": round(fleet_detect_staged_wps),
             "fleet81_detect_staged_wps": round(fleet81_detect_staged_wps),
