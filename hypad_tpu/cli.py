@@ -22,7 +22,11 @@ Mirrors the reference surface:
     the cross product) in ONE vmapped fleet program (train/fleet.py),
     scores it in ONE vmapped fleet detection program (detect/scorer), and
     writes per-run results into the same run dirs per-signal ``train``
-    runs would use.
+    runs would use. ``--detect-only`` re-scores a trained family from its
+    checkpoints without retraining; ``--rec-errors``/``--combinations``
+    switch the family to GRID detection — every signal x every cell in one
+    vmapped program (detect/scorer.detect_scores_fleet_grid) with a
+    ``sweep_grid.csv`` family table and per-cell mean f1 ranking.
 """
 
 from __future__ import annotations
@@ -153,7 +157,7 @@ def _run_detection(params, model_params, test_data, path, read_path,
 
 
 def cmd_sweep(params, config_path, signals=None, seeds=None,
-              detect_only=False):
+              detect_only=False, rec_errors=None, combinations=None):
     """Train + detect a whole signal family in ONE fused fleet program.
 
     Capability extension over the reference (which re-runs ``train.py`` per
@@ -175,6 +179,15 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
     The family-scale twin of ``detect``: re-score a trained family under a
     new ``combination``/``rec_error`` without retraining or per-signal
     re-compiles.
+
+    ``rec_errors``/``combinations`` (CLI ``--rec-errors``/
+    ``--combinations``) switch the detection side to GRID mode: every
+    signal x every (rec_error x combination) cell in ONE vmapped program
+    (scorer.detect_scores_fleet_grid) — family-level model selection in one
+    compile. Each run dir gets its per-cell ``grid_results.csv``; the
+    family table lands in ``sweep_grid.csv`` and the per-cell family mean
+    f1 is printed best-first. Composes with ``--detect-only`` (grid-rescore
+    a trained family without retraining) and ``--seeds``.
 
     Signals come from a ``signals: [...]`` list in the config or the
     ``--signals a,b,c`` flag. ``--seeds 0,1,2`` (or a ``seeds: [...]``
@@ -324,15 +337,35 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
     # of remote compile, so this is the difference between one compile and
     # one per signal. Sweep mode is scores-only: inference artifacts are
     # not persisted (run `detect` per signal for artifact caching).
+    grid_mode = bool(rec_errors or combinations)
+    grid_combos = combinations or [params.combination]
+    grid_recs = rec_errors or [params.rec_error]
     fleet_scores = [None] * len(per)
-    if not params.load:
+    fleet_grid = None
+    # unique-dataset families test on their training windows — reuse
+    # the trainer's device-resident padded stack instead of paying the
+    # host pad + tunnel upload again (dominant at large S; scorer doc)
+    reuse = staged if all(
+        td is trd or td.X is trd.X for (_, trd, td, *_) in per) else None
+    if grid_mode:
+        # family x grid: every signal x every (rec_error x combination)
+        # cell in ONE vmapped program (scorer.detect_scores_fleet_grid) —
+        # model selection over a whole family in one compile
+        from hypad_tpu.detect.scorer import detect_scores_fleet_grid
+
+        t0 = time.time()
+        with stage("sweep_detect_grid"):
+            fleet_grid = detect_scores_fleet_grid(
+                stacked_params, [td.X for (_, _, td, *_) in per],
+                params.hyperbolic, grid_combos, rec_errors=grid_recs,
+                mesh=mesh, staged=reuse)
+        dwall = time.time() - t0
+        n_cells = len(fleet_grid[0])
+        print(f"fleet grid detection wall-clock: {dwall:.2f}s for "
+              f"{len(per)} signals x {n_cells} cells in one program")
+    elif not params.load:
         from hypad_tpu.detect.scorer import detect_scores_fleet
 
-        # unique-dataset families test on their training windows — reuse
-        # the trainer's device-resident padded stack instead of paying the
-        # host pad + tunnel upload again (dominant at large S; scorer doc)
-        reuse = staged if all(
-            td is trd or td.X is trd.X for (_, trd, td, *_) in per) else None
         t0 = time.time()
         with stage("sweep_detect_device"):
             fleet_scores = detect_scores_fleet(
@@ -347,16 +380,50 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
 
     host_params = jax.device_get(stacked_params)
     results = []
+    grid_rows = []
     for i, (p, train_data, test_data, read_path, path) in enumerate(per):
         if not detect_only:
             ck.save_state(path, fl.unstack_state(host_state, i), "final")
         p_i = fl.unstack_state(host_params, i)
         tag = f" (seed {p.seed})" if seeds is not None else ""
         print(f"--- {p.signal}{tag} ---")
-        res = _run_detection(p, p_i, test_data, path, read_path,
-                             mesh=mesh, precomputed_scores=fleet_scores[i])
-        m = res["metrics"]
-        results.append((p.signal, m["f1"] if m else None))
+        if grid_mode:
+            from hypad_tpu.detect.detector import detect_grid
+
+            res = detect_grid(p, p_i, test_data, path, read_path=read_path,
+                              rec_errors=grid_recs,
+                              combinations=grid_combos, mesh=mesh,
+                              precomputed_grid=fleet_grid[i])
+            for (re_, cb), r in res.items():
+                m = r["metrics"] or {}
+                grid_rows.append({"signal": p.signal, "seed": p.seed,
+                                  "rec_error": re_ or "",
+                                  "combination": cb,
+                                  "f1": m.get("f1", np.nan)})
+            results.append((p.signal, res))
+        else:
+            res = _run_detection(p, p_i, test_data, path, read_path,
+                                 mesh=mesh,
+                                 precomputed_scores=fleet_scores[i])
+            m = res["metrics"]
+            results.append((p.signal, m["f1"] if m else None))
+    if grid_mode:
+        # family-level model selection: mean f1 per cell over every
+        # (signal, seed), best cell first; full table -> sweep_grid.csv
+        # next to sweep_log.jsonl (per-signal grid_results.csv in each
+        # run dir comes from detect_grid)
+        import pandas as pd
+
+        table = pd.DataFrame(grid_rows)
+        table.to_csv(os.path.join(per[0][4], "sweep_grid.csv"), index=False)
+        agg = (table.groupby(["rec_error", "combination"])["f1"]
+               .agg(["mean", "count"]).sort_values("mean", ascending=False))
+        print(f"sweep grid mean f1 over {len(per)} runs, best cell first:")
+        for (re_, cb), row in agg.iterrows():
+            cell = cb if not re_ else f"{re_}/{cb}"
+            print(f"  {cell}: {row['mean']:.4f} "
+                  f"(n={int(row['count'])})")
+        return results
     scored = [f for _, f in results if f is not None]
     if scored:
         print(f"sweep mean f1 over {len(scored)}/{len(results)} signals: "
@@ -423,13 +490,15 @@ def main(argv=None):
                              "signal/seed run's saved checkpoint and run "
                              "the one-program fleet detection + epilogues")
     parser.add_argument("--rec-errors", type=str, default=None,
-                        help="comma-separated rec_error list for `detect`: "
-                             "score every (rec_error x combination) cell "
-                             "from one device program (grid detection)")
+                        help="comma-separated rec_error list for `detect`/"
+                             "`sweep`: score every (rec_error x "
+                             "combination) cell from one device program "
+                             "(grid detection; on `sweep` the whole "
+                             "family x grid runs in one vmapped program)")
     parser.add_argument("--combinations", type=str, default=None,
                         help="comma-separated combination list for "
-                             "`detect` grid detection ('all' = every mode "
-                             "valid for the config's path)")
+                             "`detect`/`sweep` grid detection ('all' = "
+                             "every mode valid for the config's path)")
     args = parser.parse_args(argv)
 
     from hypad_tpu.utils.config import load_config
@@ -438,6 +507,17 @@ def main(argv=None):
     print(f"dataset: {params.dataset}, signal: {params.signal}")
     print(params)
 
+    combos = args.combinations.split(",") if args.combinations else None
+    if combos == ["all"]:
+        from hypad_tpu.data.registry import MULTIVARIATE_DATASETS
+        from hypad_tpu.detect.scorer import CRITIC_COMBOS, EUCL_COMBOS
+
+        hyper_like = (params.hyperbolic
+                      or params.signal == "multivariate"
+                      or params.dataset in MULTIVARIATE_DATASETS)
+        combos = list(CRITIC_COMBOS + ("rec", "rec_uncertainty")
+                      if hyper_like else EUCL_COMBOS)
+    recs = args.rec_errors.split(",") if args.rec_errors else None
     if command == "train":
         cmd_train(params, args.config)
     elif command == "sweep":
@@ -445,21 +525,10 @@ def main(argv=None):
                   signals=(args.signals.split(",") if args.signals
                            else None),
                   seeds=(args.seeds.split(",") if args.seeds else None),
-                  detect_only=args.detect_only)
+                  detect_only=args.detect_only,
+                  rec_errors=recs, combinations=combos)
     else:
-        combos = args.combinations.split(",") if args.combinations else None
-        if combos == ["all"]:
-            from hypad_tpu.data.registry import MULTIVARIATE_DATASETS
-            from hypad_tpu.detect.scorer import CRITIC_COMBOS, EUCL_COMBOS
-
-            hyper_like = (params.hyperbolic
-                          or params.signal == "multivariate"
-                          or params.dataset in MULTIVARIATE_DATASETS)
-            combos = list(CRITIC_COMBOS + ("rec", "rec_uncertainty")
-                          if hyper_like else EUCL_COMBOS)
-        cmd_detect(params, args.config,
-                   rec_errors=(args.rec_errors.split(",")
-                               if args.rec_errors else None),
+        cmd_detect(params, args.config, rec_errors=recs,
                    combinations=combos)
 
     if args.profile:

@@ -167,7 +167,7 @@ def detect(params, state_params, test_data, run_path, read_path="",
 
 def detect_grid(params, state_params, test_data, run_path, read_path="",
                 rec_errors=None, combinations=None, known_anomalies=None,
-                mesh=None):
+                mesh=None, precomputed_grid=None):
     """Grid detection: every (rec_error x combination) cell scored from ONE
     device program (scorer.detect_scores_grid), then each cell's host
     epilogue (intervals -> confusion -> metrics) and one cumulative
@@ -181,7 +181,12 @@ def detect_grid(params, state_params, test_data, run_path, read_path="",
 
     Returns ``{(rec_error|None, combination): result_dict}`` with the same
     per-cell result shape as ``detect`` (scores, intervals, confusion,
-    metrics)."""
+    metrics).
+
+    ``precomputed_grid``: optional ``{(rec_error|None, comb): scores}`` dict
+    (one signal's slice of ``detect_scores_fleet_grid``) — the device
+    program is then skipped and only the host epilogues + CSV run (the
+    ``sweep --rec-errors/--combinations`` path)."""
     os.makedirs(run_path, exist_ok=True)
     from hypad_tpu.data.registry import MULTIVARIATE_DATASETS
 
@@ -201,12 +206,15 @@ def detect_grid(params, state_params, test_data, run_path, read_path="",
     if rec_errors is None:
         rec_errors = [params.rec_error]
 
-    X = getattr(test_data, "X_device", None)
-    if X is None:
-        X = test_data.X
-    grid = sc.detect_scores_grid(state_params, X, params.hyperbolic,
-                                 combinations, rec_errors=rec_errors,
-                                 mesh=mesh, multivariate=is_mv)
+    if precomputed_grid is not None:
+        grid = precomputed_grid
+    else:
+        X = getattr(test_data, "X_device", None)
+        if X is None:
+            X = test_data.X
+        grid = sc.detect_scores_grid(state_params, X, params.hyperbolic,
+                                     combinations, rec_errors=rec_errors,
+                                     mesh=mesh, multivariate=is_mv)
 
     rows = []
     results = {}

@@ -700,6 +700,33 @@ _STATIC_FLEET = ("hyperbolic", "combination", "rec_error", "width",
                  "use_pallas", "mesh")
 
 
+def _fleet_stage(X_list, staged):
+    """Shared fleet staging: validate/slice a device-resident padded stack
+    (``staged``: train_fleet ``return_staged=True``) or host pad+stack, plus
+    the per-signal smooth windows computed host-side with the exact Python
+    trunc the per-signal path uses (score_anomalies_*: trunc(N*0.01))."""
+    from hypad_tpu.train.fleet import pad_and_stack
+
+    if staged is not None:
+        Xs_full, n_staged = staged
+        S = len(X_list)
+        n_real = np.asarray([x.shape[0] for x in X_list], np.int32)
+        if Xs_full.shape[0] < S or Xs_full.shape[1] < n_real.max():
+            raise ValueError("staged stack does not cover the requested "
+                             f"family: {Xs_full.shape} vs {S} signals of "
+                             f"up to {int(n_real.max())} windows")
+        if not (np.asarray(n_staged)[:S] == n_real).all():
+            raise ValueError("staged window counts disagree with X_list — "
+                             "stale stack?")
+        Xs = Xs_full[:S]
+    else:
+        Xs, n_real = pad_and_stack(
+            [np.asarray(x, np.float32) for x in X_list])
+    smooth = np.array([max(math.trunc(int(n) * 0.01), 1) for n in n_real],
+                      np.int32)
+    return Xs, n_real, smooth
+
+
 @functools.partial(jax.jit, static_argnames=_STATIC_FLEET)
 def _detect_fleet_device(stacked_params, Xs, n_real, smooth_window,
                          hyperbolic, combination, rec_error, width,
@@ -751,27 +778,7 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     Returns a list of S per-signal score vectors, each sliced to its true
     length (N_i hyperbolic, N_i + W - 1 euclidean).
     """
-    from hypad_tpu.train.fleet import pad_and_stack
-
-    if staged is not None:
-        Xs_full, n_staged = staged
-        S = len(X_list)
-        n_real = np.asarray([x.shape[0] for x in X_list], np.int32)
-        if Xs_full.shape[0] < S or Xs_full.shape[1] < n_real.max():
-            raise ValueError("staged stack does not cover the requested "
-                             f"family: {Xs_full.shape} vs {S} signals of "
-                             f"up to {int(n_real.max())} windows")
-        if not (np.asarray(n_staged)[:S] == n_real).all():
-            raise ValueError("staged window counts disagree with X_list — "
-                             "stale stack?")
-        Xs = Xs_full[:S]
-    else:
-        Xs, n_real = pad_and_stack(
-            [np.asarray(x, np.float32) for x in X_list])
-    # per-signal smooth windows computed host-side with the exact Python
-    # trunc the per-signal path uses (score_anomalies_*: trunc(N*0.01))
-    smooth = np.array([max(math.trunc(int(n) * 0.01), 1) for n in n_real],
-                      np.int32)
+    Xs, n_real, smooth = _fleet_stage(X_list, staged)
     width = Xs.shape[2]
     # always the jnp/XLA KDE backend here: it is the measured-fastest and
     # bitwise-reference default (PARITY.md "KDE kernel floor"), and the
@@ -792,13 +799,36 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
 EUCL_COMBOS = ("mult", "sum", "rec", "critic")
 
 
+def _validate_grid(hyperbolic, combinations, rec_errors, multivariate=False):
+    """Shared cell validation for the grid detectors: dedupe (keeping
+    order), reject combinations invalid for the path, reject unknown
+    rec_errors. Returns the deduped static tuples."""
+    combinations = tuple(dict.fromkeys(combinations))
+    valid = (CRITIC_COMBOS + ("rec", "rec_uncertainty")
+             if (hyperbolic or multivariate) else EUCL_COMBOS)
+    bad = [cb for cb in combinations if cb not in valid]
+    if bad:
+        raise ValueError(f"unknown combination(s) {bad} for this path; "
+                         f"valid: {sorted(valid)}")
+    rec_errors = tuple(dict.fromkeys(rec_errors))
+    for re_ in rec_errors:
+        if re_ not in ("point", "area", "dtw"):
+            raise ValueError(f"unknown rec_error {re_!r}")
+    return combinations, rec_errors
+
+
 def _grid_core(params, X, hyperbolic, combinations, rec_errors, width,
                smooth_window, use_pallas, lambda_rec=0.5, mesh=None,
-               multivariate=False):
+               multivariate=False, n_real=None):
     """Traced body of the grid detector: ONE forward pass, ONE critic KDE
     pipeline, one unroll per requested rec_error — then every combination
     tail. Returns a flat dict keyed ``comb`` (hyperbolic / multivariate) or
-    ``"{rec_error}/{comb}"`` (euclidean)."""
+    ``"{rec_error}/{comb}"`` (euclidean).
+
+    ``n_real``: optional traced real-window count for the padded fleet path
+    (detect_scores_fleet_grid) — every reduction then runs over the real
+    prefix (same contract as _detect_core); positions past n_real are pad
+    garbage the host slices off."""
     c = _row_constraint(mesh)
     Xc = c(X)
     z = encoder_apply(params["encoder"], Xc)
@@ -807,7 +837,7 @@ def _grid_core(params, X, hyperbolic, combinations, rec_errors, width,
     critic_scores = None
     if need_critic:
         critic_scores = _critic_scores_core(critic, width, smooth_window,
-                                            use_pallas, mesh)
+                                            use_pallas, mesh, n_real=n_real)
     if hyperbolic or multivariate:
         if hyperbolic:
             recons, _ = decoder_apply(params["decoder"], z, hyperbolic=True)
@@ -830,8 +860,15 @@ def _grid_core(params, X, hyperbolic, combinations, rec_errors, width,
     out = {}
     for rec_error in rec_errors:
         errors, _ = _rec_errors_core(Xc, c(recon), rec_error, smooth_window,
-                                     mesh=mesh)
-        rec_scores = jnp.clip(zscore(errors), 0.0, None) + 1.0
+                                     mesh=mesh, n_real=n_real)
+        if n_real is None:
+            zs = zscore(errors)
+        else:  # the exact _eucl_scores_core masked tail (fleet path)
+            from hypad_tpu.ops.rolling import zscore_masked
+
+            zs = zscore_masked(
+                errors, jnp.arange(errors.shape[0]) < n_real + width - 1)
+        rec_scores = jnp.clip(zs, 0.0, None) + 1.0
         for cb in combinations:
             # the exact _eucl_scores_core combination tail
             if cb == "mult":
@@ -876,17 +913,8 @@ def detect_scores_grid(params, X, hyperbolic, combinations,
     ``X`` may be a device-resident jax.Array (no upload), like
     ``detect_scores``.
     """
-    combinations = tuple(dict.fromkeys(combinations))  # dedupe, keep order
-    valid = (CRITIC_COMBOS + ("rec", "rec_uncertainty")
-             if (hyperbolic or multivariate) else EUCL_COMBOS)
-    bad = [cb for cb in combinations if cb not in valid]
-    if bad:
-        raise ValueError(f"unknown combination(s) {bad} for this path; "
-                         f"valid: {sorted(valid)}")
-    rec_errors = tuple(dict.fromkeys(rec_errors))
-    for re_ in rec_errors:
-        if re_ not in ("point", "area", "dtw"):
-            raise ValueError(f"unknown rec_error {re_!r}")
+    combinations, rec_errors = _validate_grid(hyperbolic, combinations,
+                                              rec_errors, multivariate)
     if isinstance(X, jax.Array):
         if X.dtype != jnp.float32:
             X = X.astype(jnp.float32)
@@ -902,6 +930,70 @@ def detect_scores_grid(params, X, hyperbolic, combinations,
         return {(None, cb): np.asarray(v) for cb, v in out.items()}
     return {(k.split("/")[0], k.split("/")[1]): np.asarray(v)
             for k, v in out.items()}
+
+
+_STATIC_FLEET_GRID = ("hyperbolic", "combinations", "rec_errors", "width",
+                      "use_pallas", "mesh")
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC_FLEET_GRID)
+def _detect_fleet_grid_device(stacked_params, Xs, n_real, smooth_window,
+                              hyperbolic, combinations, rec_errors, width,
+                              use_pallas, mesh=None):
+    from hypad_tpu.parallel.mesh import shard_leading
+
+    constrain = shard_leading(mesh)
+    stacked_params = constrain(stacked_params)
+    Xs = constrain(Xs)
+
+    def one(params, X, n, w):
+        return _grid_core(params, X, hyperbolic, combinations, rec_errors,
+                          width, w, use_pallas, mesh=None,
+                          multivariate=False, n_real=n)
+
+    return jax.vmap(one)(stacked_params, Xs, n_real, smooth_window)
+
+
+def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
+                             combinations, rec_errors=("point",), mesh=None,
+                             staged=None):
+    """A whole signal family x the whole (rec_error x combination) grid in
+    ONE vmapped program — the composition of ``detect_scores_fleet`` (S
+    signals' forwards + ragged scoring vmapped over a padded stack) and
+    ``detect_scores_grid`` (shared stages computed once, only combination
+    tails fan out).
+
+    The reference equivalent is S x cells ``anomaly_detection.py`` re-runs
+    (reference README.md:87-89 per cell, one process per signal each); here
+    model selection over a family — "which (rec_error, combination) works
+    best across these signals?" — is one compile and one transfer.
+
+    Univariate only (like ``detect_scores_fleet``); ``staged`` as there.
+    Returns a list of S dicts ``{(rec_error|None, combination): scores}``,
+    each cell identical to the per-signal ``detect_scores_grid`` output
+    (tests/test_grid.py::test_fleet_grid_*).
+    """
+    combinations, rec_errors = _validate_grid(hyperbolic, combinations,
+                                              rec_errors)
+    Xs, n_real, smooth = _fleet_stage(X_list, staged)
+    width = Xs.shape[2]
+    # jnp/XLA KDE backend, as in detect_scores_fleet (Mosaic is 2-D-only)
+    out = _detect_fleet_grid_device(
+        stacked_params, jnp.asarray(Xs), jnp.asarray(n_real),
+        jnp.asarray(smooth), hyperbolic, combinations, rec_errors, width,
+        False, mesh=mesh)
+    out = jax.device_get(out)
+    lens = [int(n) if hyperbolic else int(n) + width - 1 for n in n_real]
+    per_signal = []
+    for i, L in enumerate(lens):
+        if hyperbolic:
+            cells = {(None, cb): np.asarray(v[i, :L])
+                     for cb, v in out.items()}
+        else:
+            cells = {(k.split("/")[0], k.split("/")[1]):
+                     np.asarray(v[i, :L]) for k, v in out.items()}
+        per_signal.append(cells)
+    return per_signal
 
 
 def score_anomalies_multivariate(inference: InferenceOutput, combination,

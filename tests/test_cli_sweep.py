@@ -7,6 +7,7 @@ main.py per signal, main.py:14-70)."""
 
 import os
 
+import numpy as np
 import yaml
 
 NAB_DATA = "/root/reference/data"
@@ -63,6 +64,31 @@ def test_sweep_cli_two_signal_nab(tmp_path, capsys):
     assert "--- Twitter_volume_AMZN ---" in out
     # same checkpoints -> same intervals as the training run's detection
     pd.testing.assert_frame_equal(pd.read_csv(first), before)
+
+    # ---- family x grid: --detect-only + grid flags re-scores every
+    # (signal x rec_error x combination) cell in one vmapped program
+    cli.main(["sweep", "--config", str(cfg_path), "--detect-only",
+              "--rec-errors", "point,area", "--combinations", "all"])
+    out = capsys.readouterr().out
+    assert "fleet grid detection wall-clock" in out
+    assert "sweep grid mean f1" in out
+    grid = pd.read_csv(base / cfg["signals"][0] / "sweep_grid.csv")
+    assert len(grid) == 2 * 2 * 4  # signals x rec_errors x EUCL_COMBOS
+    assert set(grid["signal"]) == set(cfg["signals"])
+    assert set(grid["rec_error"]) == {"point", "area"}
+    # each run dir also gets its per-signal grid_results.csv
+    for s in cfg["signals"]:
+        per = pd.read_csv(base / s / "grid_results.csv")
+        assert len(per) == 8
+        # the grid's cells for this signal match the family table
+        fam = grid[grid["signal"] == s]
+        for _, row in per.iterrows():
+            if not pd.isna(row.get("f1", np.nan)):
+                match = fam[(fam["rec_error"] == row["rec_error"])
+                            & (fam["combination"] == row["combination"])]
+                # grid_results.csv rounds to 6 decimals; sweep_grid.csv
+                # stores full precision
+                assert abs(float(match["f1"].iloc[0]) - row["f1"]) < 1e-6
 
 
 def test_sweep_seed_band(tmp_path, capsys):

@@ -99,6 +99,82 @@ def test_grid_accepts_device_resident_windows(windows, hyper_params):
                                   want[(None, "uncertainty")])
 
 
+def _structured_windows(n, seed):
+    """Sine+noise windows (test_fleet_detect.py style): uniform-random rows
+    put KDE argmax near ties, where the padded program's float
+    reassociation flips to an adjacent grid point — structured signals keep
+    the comparison meaningful."""
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 20 * np.pi, n + 100)
+    s = np.sin(t) + 0.05 * rng.standard_normal(n + 100)
+    X = np.stack([s[i:i + 100] for i in range(n)]).astype(np.float32)
+    return np.clip(X, -1, 1)
+
+
+def test_fleet_grid_matches_per_signal_hyper(hyper_params):
+    """detect_scores_fleet_grid == per-signal detect_scores_grid on a
+    ragged hyperbolic family (padded/masked reductions must not leak)."""
+    X_list = [_structured_windows(n, seed=i)
+              for i, n in enumerate((300, 257, 280))]
+    stacked = jax.tree_util.tree_map(
+        lambda x: np.stack([np.asarray(x)] * 3), hyper_params)
+    combos = ("uncertainty", "mult", "rec")
+    fleet = sc.detect_scores_fleet_grid(stacked, X_list, True, combos)
+    assert len(fleet) == 3
+    for i, X in enumerate(X_list):
+        want = sc.detect_scores_grid(hyper_params, X, True, combos)
+        for cell in want:
+            # fleet-vs-per-signal tolerance (test_fleet_detect.py): the
+            # masked padded reductions reassociate float ops
+            np.testing.assert_allclose(fleet[i][cell], want[cell],
+                                       rtol=3e-4, atol=1e-5,
+                                       err_msg=f"signal {i} cell {cell}")
+
+
+def test_fleet_grid_matches_per_signal_eucl(eucl_params):
+    """Euclidean fleet grid: ragged family x (rec_errors x combinations),
+    incl. the dtw/area unroll boundaries under padding."""
+    X_list = [_structured_windows(n, seed=10 + i)
+              for i, n in enumerate((220, 180))]
+    stacked = jax.tree_util.tree_map(
+        lambda x: np.stack([np.asarray(x)] * 2), eucl_params)
+    recs = ("point", "dtw")
+    fleet = sc.detect_scores_fleet_grid(stacked, X_list, False,
+                                        sc.EUCL_COMBOS, rec_errors=recs)
+    for i, X in enumerate(X_list):
+        want = sc.detect_scores_grid(eucl_params, X, False, sc.EUCL_COMBOS,
+                                     rec_errors=recs)
+        assert set(fleet[i]) == set(want)
+        for cell in want:
+            # fleet-vs-per-signal tolerance (test_fleet_detect.py); atol
+            # covers the 'sum' cells, whose values are near-zero
+            # differences where padded-dtw float accumulation shows as
+            # ~1.5e-5 absolute
+            np.testing.assert_allclose(fleet[i][cell], want[cell],
+                                       rtol=3e-4, atol=5e-5,
+                                       err_msg=f"signal {i} cell {cell}")
+
+
+def test_fleet_grid_on_mesh_matches_unsharded(hyper_params):
+    """The signal axis sharded over the dp mesh changes nothing."""
+    from hypad_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(44)
+    X_list = [rng.uniform(-1, 1, (150, 100)).astype(np.float32)
+              for _ in range(4)]
+    stacked = jax.tree_util.tree_map(
+        lambda x: np.stack([np.asarray(x)] * 4), hyper_params)
+    combos = ("uncertainty", "critic")
+    base = sc.detect_scores_fleet_grid(stacked, X_list, True, combos)
+    mesh = make_mesh("all")
+    sharded = sc.detect_scores_fleet_grid(stacked, X_list, True, combos,
+                                          mesh=mesh)
+    for i in range(4):
+        for cell in base[i]:
+            np.testing.assert_allclose(sharded[i][cell], base[i][cell],
+                                       rtol=3e-4, atol=1e-5)
+
+
 def test_cli_grid_end_to_end(tmp_path):
     """Train a tiny run, then `detect --combinations all --rec-errors ...`
     must write grid_results.csv with one row per cell and per-cell metrics
