@@ -266,18 +266,28 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
         per.append((p, train_data, test_data, read_path, path))
 
     mesh = make_mesh(params.devices)
+    grid_mode = bool(rec_errors or combinations)
+    grid_combos = combinations or [params.combination]
+    grid_recs = rec_errors or [params.rec_error]
+    ckpt_tag = params.resume_epoch if params.resume else "final"
     if detect_only:
         # family-scale detect-only re-entry: restore every pair's saved
         # checkpoint (the states per-signal `train`/`sweep` runs wrote) and
-        # go straight to the one-program fleet detection below
-        tag = params.resume_epoch if params.resume else "final"
-        # stack on host (np), then ONE bulk device_put — per-leaf jnp.stack
-        # would pay a tunnel round-trip per tensor (CLAUDE.md gotcha)
-        stacked_params = jax.device_put(jax.tree_util.tree_map(
-            lambda *xs: np.stack([np.asarray(x) for x in xs]),
-            *[ck.restore_state(path, tag).params
-              for (_, _, _, _, path) in per]), jax.devices()[0])
+        # go straight to the one-program fleet detection below. With
+        # `load: true` and no grid, detection serves the per-signal cached
+        # artifacts instead — no fleet program runs, so checkpoints are
+        # restored lazily per signal in the epilogue loop.
         staged = None
+        stacked_params = host_params = None
+        if grid_mode or not params.load:
+            # stack on host (np), then ONE bulk device_put — per-leaf
+            # jnp.stack would pay a tunnel round-trip per tensor (CLAUDE.md
+            # gotcha); the host stack doubles as the epilogue params source
+            host_params = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *[ck.restore_state(path, ckpt_tag).params
+                  for (_, _, _, _, path) in per])
+            stacked_params = jax.device_put(host_params, jax.devices()[0])
     else:
         with jax.default_device(jax.devices("cpu")[0]):
             fstate = fl.init_fleet_state(
@@ -285,32 +295,31 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
                 lr=params.lr, hyperbolic=params.hyperbolic)
         fstate = jax.device_put(fstate, jax.devices()[0])
 
-    X_list = [np.asarray(td.X, np.float32) for (_, td, *_) in per]
+        X_list = [np.asarray(td.X, np.float32) for (_, td, *_) in per]
 
-    import json
+        import json
 
-    log_path = os.path.join(per[0][4], "sweep_log.jsonl")
+        log_path = os.path.join(per[0][4], "sweep_log.jsonl")
 
-    def log_cb(epoch, metrics):  # noqa: F811 — unused in detect-only mode
-        row = {"epoch": int(epoch),
-               **{k: [float(x) for x in np.asarray(v)[: len(per)]]
-                  for k, v in metrics.items()}}
-        with open(log_path, "a") as f:
-            f.write(json.dumps(row) + "\n")
-        mean = {k: float(np.mean(v)) for k, v in row.items()
-                if k != "epoch"}
-        print(f"[sweep] epoch {epoch}: "
-              f"critic x {mean['critic_x_loss']:.3f} "
-              f"critic z {mean['critic_z_loss']:.3f} "
-              f"decoder {mean['decoder_loss']:.3f} "
-              f"rec {mean['rec_loss']:.6f} (mean of {len(per)})")
+        def log_cb(epoch, metrics):
+            row = {"epoch": int(epoch),
+                   **{k: [float(x) for x in np.asarray(v)[: len(per)]]
+                      for k, v in metrics.items()}}
+            with open(log_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            mean = {k: float(np.mean(v)) for k, v in row.items()
+                    if k != "epoch"}
+            print(f"[sweep] epoch {epoch}: "
+                  f"critic x {mean['critic_x_loss']:.3f} "
+                  f"critic z {mean['critic_z_loss']:.3f} "
+                  f"decoder {mean['decoder_loss']:.3f} "
+                  f"rec {mean['rec_loss']:.6f} (mean of {len(per)})")
 
-    def ckpt_cb(epoch, stacked):
-        host = jax.device_get(stacked)
-        for i, (_, _, _, _, path) in enumerate(per):
-            ck.save_state(path, fl.unstack_state(host, i), epoch)
+        def ckpt_cb(epoch, stacked):
+            host = jax.device_get(stacked)
+            for i, (_, _, _, _, path) in enumerate(per):
+                ck.save_state(path, fl.unstack_state(host, i), epoch)
 
-    if not detect_only:
         t0 = time.time()
         with stage("sweep_train"):
             fstate, staged = fl.train_fleet(
@@ -330,6 +339,10 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
         host_state = jax.device_get(fstate)
         stacked_params = jax.tree_util.tree_map(
             lambda x: x[: len(per)], fstate.params)
+        # epilogue params come from the state already fetched above — a
+        # second device_get of stacked_params would re-pay the transfer
+        host_params = jax.tree_util.tree_map(
+            lambda x: x[: len(per)], host_state.params)
 
     # detection side of the fleet: every signal's forward + scoring in ONE
     # vmapped program (scorer.detect_scores_fleet) instead of S per-shape
@@ -337,9 +350,6 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
     # of remote compile, so this is the difference between one compile and
     # one per signal. Sweep mode is scores-only: inference artifacts are
     # not persisted (run `detect` per signal for artifact caching).
-    grid_mode = bool(rec_errors or combinations)
-    grid_combos = combinations or [params.combination]
-    grid_recs = rec_errors or [params.rec_error]
     fleet_scores = [None] * len(per)
     fleet_grid = None
     # unique-dataset families test on their training windows — reuse
@@ -378,13 +388,15 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
               f"signals / {n_win} windows in one program "
               f"({n_win / dwall:.1f} windows/sec)")
 
-    host_params = jax.device_get(stacked_params)
     results = []
     grid_rows = []
     for i, (p, train_data, test_data, read_path, path) in enumerate(per):
         if not detect_only:
             ck.save_state(path, fl.unstack_state(host_state, i), "final")
-        p_i = fl.unstack_state(host_params, i)
+        if host_params is not None:
+            p_i = fl.unstack_state(host_params, i)
+        else:  # detect-only `load: true` cached path (no fleet program ran)
+            p_i = ck.restore_state(path, ckpt_tag).params
         tag = f" (seed {p.seed})" if seeds is not None else ""
         print(f"--- {p.signal}{tag} ---")
         if grid_mode:

@@ -229,17 +229,8 @@ def detect_grid(params, state_params, test_data, run_path, read_path="",
         else:
             true_index = np.asarray(test_data.index)
             intervals = _univariate_intervals(scores, true_index)
-        pred = (pd.DataFrame(intervals, columns=["start", "end", "score"])
-                if len(intervals) else
-                pd.DataFrame(columns=["start", "end", "score"]))
-        confusion, metrics = (0, 0, 0, 0), None
-        try:
-            confusion = mt.contextual_confusion_matrix(
-                known_anomalies, pred, weighted=False)
-            metrics = mt.compute_metrics(known_anomalies, pred,
-                                         verbose=False)
-        except ZeroDivisionError:
-            confusion = [0, 0, 0, 0]
+        confusion, metrics = _confusion_and_metrics(
+            known_anomalies, _pred_frame(intervals), verbose=False)
         results[(re_, cb)] = {"scores": scores, "intervals": intervals,
                               "confusion": confusion, "metrics": metrics}
         cell = cb if re_ is None else f"{re_}/{cb}"
@@ -255,6 +246,33 @@ def detect_grid(params, state_params, test_data, run_path, read_path="",
     pd.DataFrame(rows).to_csv(os.path.join(run_path, "grid_results.csv"),
                               index=False)
     return results
+
+
+def _pred_frame(intervals):
+    """Interval list -> the reference's prediction DataFrame shape (empty
+    predictions keep the column schema)."""
+    return (pd.DataFrame(intervals, columns=["start", "end", "score"])
+            if len(intervals) else
+            pd.DataFrame(columns=["start", "end", "score"]))
+
+
+def _confusion_and_metrics(known_anomalies, pred, verbose=True):
+    """Confusion matrix + metrics with the reference's excusal semantics,
+    shared by the single-cell epilogue and the grid cells so they cannot
+    diverge.
+
+    ZeroDivisionError is the only failure the reference's bare except
+    legitimately excuses: empty predictions / no ground truth -> undefined
+    precision/recall (utils/anomaly_detection_utils.py:105-113). Anything
+    else is a real regression in the metrics path and must propagate, not
+    be silently reported as confusion=[0,0,0,0]."""
+    try:
+        confusion = mt.contextual_confusion_matrix(known_anomalies, pred,
+                                                   weighted=False)
+        metrics = mt.compute_metrics(known_anomalies, pred, verbose=verbose)
+        return confusion, metrics
+    except ZeroDivisionError:
+        return [0, 0, 0, 0], None
 
 
 def _univariate_intervals(final_scores, true_index):
@@ -281,24 +299,12 @@ def _host_epilogue(params, final_scores, intervals, known_anomalies,
         "confusion": (0, 0, 0, 0),
         "metrics": None,
     }
-    pred_anomalies = (pd.DataFrame(intervals,
-                                   columns=["start", "end", "score"])
-                      if len(intervals) else
-                      pd.DataFrame(columns=["start", "end", "score"]))
+    pred_anomalies = _pred_frame(intervals)
     pred_anomalies.to_csv(os.path.join(run_path, "anomalies.csv"))
-    try:
-        confusion = mt.contextual_confusion_matrix(
-            known_anomalies, pred_anomalies, weighted=False)
-        metrics = mt.compute_metrics(known_anomalies, pred_anomalies)
-        result["confusion"] = confusion
-        result["metrics"] = metrics
-    except ZeroDivisionError:
-        # the only failure the reference's bare except legitimately excuses:
-        # empty predictions / no ground truth -> undefined precision/recall
-        # (utils/anomaly_detection_utils.py:105-113). Anything else is a real
-        # regression in the metrics path and must propagate, not be silently
-        # reported as confusion=[0,0,0,0].
-        result["confusion"] = [0, 0, 0, 0]
+    confusion, metrics = _confusion_and_metrics(known_anomalies,
+                                                pred_anomalies)
+    result["confusion"] = confusion
+    result["metrics"] = metrics
 
     # ---- cumulative results CSV (:115-126)
     if params.save_result:

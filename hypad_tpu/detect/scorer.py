@@ -911,10 +911,41 @@ def detect_scores_grid(params, X, hyperbolic, combinations,
     per-cell ``score_anomalies_*`` outputs (tests/test_grid.py).
 
     ``X`` may be a device-resident jax.Array (no upload), like
-    ``detect_scores``.
+    ``detect_scores``. Beyond ``ONE_CALL_MAX_WINDOWS`` the forward pass
+    falls back to the chunked ``run_inference`` (bounding HBM exactly like
+    ``detect_scores``) and each cell is scored from the shared inference —
+    the reference's own ``load: true`` workflow.
     """
     combinations, rec_errors = _validate_grid(hyperbolic, combinations,
                                               rec_errors, multivariate)
+    if (hyperbolic or multivariate) and len(rec_errors) > 1:
+        import warnings
+
+        warnings.warn(
+            "rec_errors apply only to the euclidean univariate path; the "
+            f"{'hyperbolic' if hyperbolic else 'multivariate'} grid keys "
+            "cells by combination alone and the requested rec_error sweep "
+            "collapses to one row per combination", stacklevel=2)
+    if len(X) > ONE_CALL_MAX_WINDOWS:
+        # chunked fallback, shared inference + per-cell scoring (the
+        # detect_scores fallback's grid twin)
+        X_in = np.asarray(X, np.float32)
+        inference = run_inference(params, X_in, hyperbolic, mesh=mesh)
+        out = {}
+        for cb in combinations:
+            if multivariate:
+                out[(None, cb)] = score_anomalies_multivariate(
+                    inference, cb, hyperbolic, mesh=mesh)
+            elif hyperbolic:
+                out[(None, cb)] = score_anomalies_hyperbolic(
+                    inference, cb, mesh=mesh)
+            else:
+                for re_ in rec_errors:
+                    out[(re_, cb)] = score_anomalies_euclidean(
+                        inference.true_signal, inference.recons_signal,
+                        inference.critic_score, rec_error_type=re_,
+                        comb=cb, mesh=mesh)
+        return out
     if isinstance(X, jax.Array):
         if X.dtype != jnp.float32:
             X = X.astype(jnp.float32)

@@ -99,6 +99,30 @@ def test_grid_accepts_device_resident_windows(windows, hyper_params):
                                   want[(None, "uncertainty")])
 
 
+def test_grid_large_input_fallback(monkeypatch, windows, eucl_params):
+    """Beyond ONE_CALL_MAX_WINDOWS the grid must fall back to the chunked
+    run_inference + per-cell scoring (HBM-bounded like detect_scores), with
+    identical cells."""
+    recs = ("point", "area")
+    want = sc.detect_scores_grid(eucl_params, windows, False,
+                                 sc.EUCL_COMBOS, rec_errors=recs)
+    monkeypatch.setattr(sc, "ONE_CALL_MAX_WINDOWS", 64)
+    got = sc.detect_scores_grid(eucl_params, windows, False,
+                                sc.EUCL_COMBOS, rec_errors=recs)
+    assert set(got) == set(want)
+    for cell in want:
+        np.testing.assert_allclose(got[cell], want[cell], rtol=1e-6,
+                                   atol=1e-7, err_msg=str(cell))
+
+
+def test_grid_warns_rec_error_sweep_on_hyperbolic(windows, hyper_params):
+    """A >1 rec_errors request on the hyperbolic path is silently
+    inapplicable — the grid must say so."""
+    with pytest.warns(UserWarning, match="rec_errors apply only"):
+        sc.detect_scores_grid(hyper_params, windows, True, ("uncertainty",),
+                              rec_errors=("point", "area"))
+
+
 def _structured_windows(n, seed):
     """Sine+noise windows (test_fleet_detect.py style): uniform-random rows
     put KDE argmax near ties, where the padded program's float
