@@ -299,6 +299,30 @@ def main():
                                        "uncertainty",
                                        staged=fleet_staged)[-1], n_fleet_win)
 
+    # fleet x grid: 9 signals x 12 euclidean cells (108 detection cells) in
+    # ONE vmapped program on the staged stack — the `sweep --rec-errors ...
+    # --combinations all` path (PARITY.md "Family-wide grid study")
+    from hypad_tpu.detect.scorer import detect_scores_fleet_grid
+    from hypad_tpu.models.tadgan import init_tadgan as _init_g
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        eg_params = _init_g(jax.random.PRNGKey(4), signal_shape=100,
+                            hyperbolic=False)
+    eg_params = jax.device_put(jax.tree_util.tree_map(
+        lambda x: np.stack([np.asarray(x)] * 9), eg_params), dev0)
+
+    def fleet_grid():
+        return detect_scores_fleet_grid(
+            eg_params, fleet_X, False, EUCL_COMBOS,
+            rec_errors=("point", "area", "dtw"), staged=fleet_staged)
+
+    fleet_grid()  # warm
+    t0 = time.time()
+    out = fleet_grid()
+    fleet_grid108_s = time.time() - t0
+    assert len(out) == 9 and len(out[0]) == 12
+    del out, eg_params
+
     # 81-model fleet detection on the staged stack — the scaling headline
     # (PROFILE.md "Fleet scaling": the vmapped program stays ~flat in S,
     # ~1.8M windows/s aggregate on one chip)
@@ -361,6 +385,7 @@ def main():
         f"grid12={grid12_s:.4f}s "
         f"fleet9_detect={fleet_detect_wps:.0f}w/s "
         f"fleet9_detect_staged={fleet_detect_staged_wps:.0f}w/s "
+        f"fleet9_grid108={fleet_grid108_s:.4f}s "
         f"fleet81_detect_staged={fleet81_detect_staged_wps:.0f}w/s "
         f"eucl_dtw_scoring={eucl_wps:.0f}w/s pallas_ok={pallas_ok} "
         f"(kde_tie_flips={kde_flips}, mobius_maxdiff={ml_maxdiff})",
@@ -396,6 +421,8 @@ def main():
             "grid12_cells_per_s": round(12 / grid12_s, 2),
             "fleet9_detect_wps": round(fleet_detect_wps),
             "fleet9_detect_staged_wps": round(fleet_detect_staged_wps),
+            "fleet9_grid108_detect_s": round(fleet_grid108_s, 4),
+            "fleet9_grid108_cells_per_s": round(108 / fleet_grid108_s, 1),
             "fleet81_detect_staged_wps": round(fleet81_detect_staged_wps),
             # like-for-like regimes: the upload-paying fleet vs 9 sequential
             # upload-paying one-calls; the staged fleet vs 9 sequential

@@ -280,6 +280,15 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
         staged = None
         stacked_params = host_params = None
         if grid_mode or not params.load:
+            missing = [path for (_, _, _, _, path) in per
+                       if not os.path.exists(
+                           os.path.join(path, f"state_{ckpt_tag}"))]
+            if missing:
+                raise SystemExit(
+                    f"sweep --detect-only: no 'state_{ckpt_tag}' checkpoint "
+                    f"in {len(missing)}/{len(per)} run dir(s) — train the "
+                    "family first (same config, without --detect-only). "
+                    f"First missing: {missing[0]}")
             # stack on host (np), then ONE bulk device_put — per-leaf
             # jnp.stack would pay a tunnel round-trip per tensor (CLAUDE.md
             # gotcha); the host stack doubles as the epilogue params source

@@ -91,6 +91,28 @@ def test_sweep_cli_two_signal_nab(tmp_path, capsys):
                 assert abs(float(match["f1"].iloc[0]) - row["f1"]) < 1e-6
 
 
+def test_sweep_detect_only_missing_checkpoints(tmp_path):
+    """--detect-only on an untrained family must fail with a clear message,
+    not an orbax traceback."""
+    import pytest
+    import yaml
+
+    from hypad_tpu import cli
+
+    cfg = {
+        "dataset": "NAB", "signal": "Twitter_volume_AAPL", "epochs": 1,
+        "hyperbolic": False, "signal_shape": 100, "batch_size": 64,
+        "lr": 5e-4, "rec_error": "point", "combination": "mult",
+        "unique_dataset": True,
+        "data_root": NAB_DATA, "output_root": str(tmp_path), "devices": 1,
+        "signals": ["Twitter_volume_AAPL"],
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(SystemExit, match="state_final"):
+        cli.main(["sweep", "--config", str(cfg_path), "--detect-only"])
+
+
 def test_sweep_seed_band(tmp_path, capsys):
     """--seeds trains the config's one signal as a seed band in one fleet
     program; each seed lands in its own seed_{k}/ run tree."""
@@ -126,6 +148,14 @@ def test_sweep_seed_band(tmp_path, capsys):
                / "models_eucl_NAB_1_0.0005" / "NAB" / "Twitter_volume_AAPL")
     cli.main(["detect", "--config", str(run_dir / "config.yaml")])
     assert "detection wall-clock" in capsys.readouterr().out
+
+    # --detect-only composes with --seeds: the band re-scores from its
+    # per-seed checkpoints without retraining
+    cli.main(["sweep", "--config", str(cfg_path), "--seeds", "0,3",
+              "--detect-only"])
+    out = capsys.readouterr().out
+    assert "sweep training wall-clock" not in out
+    assert "--- Twitter_volume_AAPL (seed 3) ---" in out
 
 
 def test_seeds_flag_overrides_config_signals(tmp_path, capsys):

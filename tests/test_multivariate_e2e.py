@@ -82,6 +82,16 @@ def test_swat_full_cli_train_detect(swat_root, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "detection wall-clock" in out
 
+    # multivariate grid detection through the CLI: every combination cell
+    # from one program, per-cell rows in grid_results.csv
+    cli.main(["detect", "--config", str(cfg_path),
+              "--combinations", "rec,mult,uncertainty"])
+    out = capsys.readouterr().out
+    assert "grid detection wall-clock" in out
+    table = pd.read_csv(run_dir / "grid_results.csv")
+    assert set(table["combination"]) == {"rec", "mult", "uncertainty"}
+    assert len(table) == 3
+
 
 @pytest.fixture(scope="module")
 def wadi_root(tmp_path_factory):
