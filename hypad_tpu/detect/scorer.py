@@ -699,6 +699,29 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
 _STATIC_FLEET = ("hyperbolic", "combination", "rec_error", "width",
                  "use_pallas", "mesh")
 
+# HBM bound for the fleet programs: the critic-KDE pair stage is the peak
+# buffer — (S, T, W, W) f32 with T = N_pad + W - 1 anti-diagonal rows per
+# signal. Families whose stacked pair tensor would exceed this many elements
+# are scored in overlapping tail-aligned signal chunks of one fixed shape,
+# so ONE compiled program serves every chunk (a fresh shape costs 40-200 s
+# of remote compile through a tunneled backend). 1.2e9 elems = 4.8 GB f32,
+# the measured-working S=81 x A1 stack (PROFILE.md "Fleet scaling") with
+# headroom on a 16 GB chip.
+FLEET_MAX_PAIR_ELEMS = 1_200_000_000
+
+
+def _fleet_chunk_plan(S, n_pad, width):
+    """Chunk starts for the fleet signal axis. Returns (starts, S_c):
+    ``starts is None`` means a single full-fleet call; otherwise every chunk
+    is ``[start, start + S_c)`` — the last start is tail-aligned (chunks
+    overlap rather than shrink) so all chunks share one compiled shape."""
+    per_signal = (n_pad + width - 1) * width * width
+    S_c = max(int(FLEET_MAX_PAIR_ELEMS // max(per_signal, 1)), 1)
+    if S <= S_c:
+        return None, S
+    starts = list(range(0, S - S_c, S_c)) + [S - S_c]
+    return starts, S_c
+
 
 def _fleet_stage(X_list, staged):
     """Shared fleet staging: validate/slice a device-resident padded stack
@@ -775,21 +798,59 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     ``Xs`` may be longer-padded and carry trailing mesh-dummy rows; only
     its first S rows are consumed.
 
+    Families too large for HBM (the stacked KDE pair tensor past
+    ``FLEET_MAX_PAIR_ELEMS``) are scored in overlapping fixed-shape signal
+    chunks through the SAME compiled program — per-signal results are
+    independent, so chunk boundaries cannot change them.
+
     Returns a list of S per-signal score vectors, each sliced to its true
     length (N_i hyperbolic, N_i + W - 1 euclidean).
     """
     Xs, n_real, smooth = _fleet_stage(X_list, staged)
     width = Xs.shape[2]
+
     # always the jnp/XLA KDE backend here: it is the measured-fastest and
     # bitwise-reference default (PARITY.md "KDE kernel floor"), and the
     # opt-in Mosaic kernels are 2-D-only (not vmappable over the fleet axis)
-    out = _detect_fleet_device(
-        stacked_params, jnp.asarray(Xs), jnp.asarray(n_real),
-        jnp.asarray(smooth), hyperbolic, combination, rec_error, width,
-        False, mesh=mesh)
-    out = np.asarray(out)
+    def run(p, x, n, sm):
+        return _detect_fleet_device(
+            p, jnp.asarray(x), jnp.asarray(n), jnp.asarray(sm), hyperbolic,
+            combination, rec_error, width, False, mesh=mesh)
+
+    out = _fleet_chunked(run, stacked_params, Xs, n_real, smooth)
     lens = [int(n) if hyperbolic else int(n) + width - 1 for n in n_real]
     return [out[i, :L] for i, L in enumerate(lens)]
+
+
+def _fleet_chunked(run, stacked_params, Xs, n_real, smooth):
+    """Drive ``run`` over the whole fleet, chunking the signal axis when the
+    stacked KDE pair tensor would blow HBM (``_fleet_chunk_plan``). ``run``
+    returns a (S_c, ...)-leading array or a dict of them; chunk outputs are
+    reassembled by row (overlap rows are recomputed identically)."""
+    S = Xs.shape[0]
+    starts, S_c = _fleet_chunk_plan(S, Xs.shape[1], Xs.shape[2])
+    if starts is None:
+        out = run(stacked_params, Xs, n_real, smooth)
+        return (jax.tree_util.tree_map(np.asarray, dict(out))
+                if isinstance(out, dict) else np.asarray(out))
+    full = None
+    for start in starts:
+        sl = slice(start, start + S_c)
+        sub = run(jax.tree_util.tree_map(lambda x: x[sl], stacked_params),
+                  Xs[sl], n_real[sl], smooth[sl])
+        if isinstance(sub, dict):
+            sub = {k: np.asarray(v) for k, v in sub.items()}
+            if full is None:
+                full = {k: np.zeros((S,) + v.shape[1:], v.dtype)
+                        for k, v in sub.items()}
+            for k, v in sub.items():
+                full[k][sl] = v
+        else:
+            sub = np.asarray(sub)
+            if full is None:
+                full = np.zeros((S,) + sub.shape[1:], sub.dtype)
+            full[sl] = sub
+    return full
 
 
 # ---------------------------------------------------------------------------
@@ -999,7 +1060,8 @@ def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
     model selection over a family — "which (rec_error, combination) works
     best across these signals?" — is one compile and one transfer.
 
-    Univariate only (like ``detect_scores_fleet``); ``staged`` as there.
+    Univariate only (like ``detect_scores_fleet``); ``staged`` as there;
+    HBM-bounded signal chunking as there (``FLEET_MAX_PAIR_ELEMS``).
     Returns a list of S dicts ``{(rec_error|None, combination): scores}``,
     each cell identical to the per-signal ``detect_scores_grid`` output
     (tests/test_grid.py::test_fleet_grid_*).
@@ -1008,12 +1070,14 @@ def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
                                               rec_errors)
     Xs, n_real, smooth = _fleet_stage(X_list, staged)
     width = Xs.shape[2]
+
     # jnp/XLA KDE backend, as in detect_scores_fleet (Mosaic is 2-D-only)
-    out = _detect_fleet_grid_device(
-        stacked_params, jnp.asarray(Xs), jnp.asarray(n_real),
-        jnp.asarray(smooth), hyperbolic, combinations, rec_errors, width,
-        False, mesh=mesh)
-    out = jax.device_get(out)
+    def run(p, x, n, sm):
+        return _detect_fleet_grid_device(
+            p, jnp.asarray(x), jnp.asarray(n), jnp.asarray(sm), hyperbolic,
+            combinations, rec_errors, width, False, mesh=mesh)
+
+    out = _fleet_chunked(run, stacked_params, Xs, n_real, smooth)
     lens = [int(n) if hyperbolic else int(n) + width - 1 for n in n_real]
     per_signal = []
     for i, L in enumerate(lens):

@@ -125,3 +125,55 @@ def test_fleet_detect_sharded_matches_single():
                                      mesh=mesh)
     for s1, s2 in zip(single, sharded):
         np.testing.assert_allclose(s2, s1, rtol=3e-4, atol=1e-5)
+
+
+def test_fleet_detect_chunked_matches_full(monkeypatch):
+    """Families whose stacked KDE pair tensor would exceed the HBM budget
+    run as overlapping fixed-shape signal chunks through one compiled
+    program; per-signal scores must match the single-call fleet program."""
+    stacked, params, X_list = _family(False)
+    full = sc.detect_scores_fleet(stacked, X_list, False, "mult")
+    # budget of 2 signals' pair tensors: 3 signals -> chunks [0:2], [1:3]
+    n_pad = max(LENS)
+    monkeypatch.setattr(sc, "FLEET_MAX_PAIR_ELEMS",
+                        2 * (n_pad + W - 1) * W * W)
+    starts, S_c = sc._fleet_chunk_plan(len(X_list), n_pad, W)
+    assert starts == [0, 1] and S_c == 2
+    chunked = sc.detect_scores_fleet(stacked, X_list, False, "mult")
+    for c, f in zip(chunked, full):
+        np.testing.assert_allclose(c, f, rtol=1e-5, atol=1e-7)
+
+
+def test_fleet_detect_chunked_staged_and_hyper(monkeypatch):
+    """Chunking composes with the staged device-resident stack and the
+    hyperbolic path."""
+    import jax.numpy as jnp
+
+    stacked, params, X_list = _family(True)
+    full = sc.detect_scores_fleet(stacked, X_list, True, "uncertainty")
+    n_max = max(LENS)
+    Xs = np.zeros((len(X_list), n_max, W), np.float32)
+    for i, x in enumerate(X_list):
+        Xs[i, : len(x)] = x
+    staged = (jnp.asarray(Xs), np.asarray([len(x) for x in X_list],
+                                          np.int32))
+    monkeypatch.setattr(sc, "FLEET_MAX_PAIR_ELEMS",
+                        (n_max + W - 1) * W * W)  # one signal per chunk
+    chunked = sc.detect_scores_fleet(stacked, X_list, True, "uncertainty",
+                                     staged=staged)
+    for c, f in zip(chunked, full):
+        np.testing.assert_allclose(c, f, rtol=1e-5, atol=1e-7)
+
+
+def test_fleet_chunk_plan_edges():
+    assert sc._fleet_chunk_plan(1, 10_000, W) == (None, 1)
+    # degenerate budget still makes progress one signal at a time
+    import hypad_tpu.detect.scorer as scorer
+
+    old = scorer.FLEET_MAX_PAIR_ELEMS
+    try:
+        scorer.FLEET_MAX_PAIR_ELEMS = 1
+        starts, S_c = sc._fleet_chunk_plan(3, 100, W)
+        assert S_c == 1 and starts == [0, 1, 2]
+    finally:
+        scorer.FLEET_MAX_PAIR_ELEMS = old

@@ -242,3 +242,25 @@ def test_cli_grid_end_to_end(tmp_path):
     assert (int(cell["tp"]), int(cell["fp"]), int(cell["fn"])) == (
         int(single["confusion"][3]), int(single["confusion"][1]),
         int(single["confusion"][2]))
+
+
+def test_fleet_grid_chunked_matches_full(monkeypatch, eucl_params):
+    """HBM-bounded signal chunking (FLEET_MAX_PAIR_ELEMS) reassembles the
+    same per-signal per-cell grid as the single-call fleet grid program."""
+    X_list = [_structured_windows(n, seed=20 + i)
+              for i, n in enumerate((220, 180, 150))]
+    stacked = jax.tree_util.tree_map(
+        lambda x: np.stack([np.asarray(x)] * 3), eucl_params)
+    recs = ("point", "dtw")
+    full = sc.detect_scores_fleet_grid(stacked, X_list, False,
+                                       sc.EUCL_COMBOS, rec_errors=recs)
+    monkeypatch.setattr(sc, "FLEET_MAX_PAIR_ELEMS",
+                        2 * (220 + 99) * 100 * 100)  # 2 signals per chunk
+    chunked = sc.detect_scores_fleet_grid(stacked, X_list, False,
+                                          sc.EUCL_COMBOS, rec_errors=recs)
+    for i in range(3):
+        assert set(chunked[i]) == set(full[i])
+        for cell in full[i]:
+            np.testing.assert_allclose(chunked[i][cell], full[i][cell],
+                                       rtol=1e-5, atol=1e-7,
+                                       err_msg=f"signal {i} cell {cell}")

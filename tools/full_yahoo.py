@@ -1,0 +1,109 @@
+"""Full Yahoo S5 benchmark study: every signal in the checkout, on one chip.
+
+The reference's workflow for the Yahoo S5 webscope benchmark (README.md:87-89
++ configs/univariate.yaml) is one ``python main.py`` process per signal —
+367 processes (A1: 67 real_*, A2: 100 synthetic_*, A3/A4: 100 TS* each) of
+40 epochs each; at the measured PyTorch-CPU epoch wall-clocks (BASELINE.md,
+~2.25 s at A1 size / ~2.5 s at the longer A3/A4 sizes) that is ~9-10 CPU
+HOURS of epoch compute alone, before scoring.
+
+This driver runs the SAME workload as four ``cli.cmd_sweep`` calls — one
+vmapped fleet training program + one (HBM-chunked) fleet detection program
+per class (hypad_tpu/train/fleet.py, detect/scorer.detect_scores_fleet) —
+and writes per-signal F1s to ``yahoo_full.csv`` plus a per-class aggregate
+table. Results land in each signal's own run dir exactly as per-signal
+``train`` runs would put them (checkpoints incl. ``state_final``, config
+snapshot, results CSV row), so any signal can be re-entered afterwards with
+``hypad detect``/``sweep --detect-only``.
+
+Usage (keep the chip free — ONE process may own it):
+    cd /tmp/yahoo_full && PYTHONPATH=/root/repo python /root/repo/tools/full_yahoo.py \
+        [--classes A1,A2,A3,A4] [--out .] [--epochs 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+CONFIGS = {
+    "A1": "configs/yahoo_a1_hyper.yaml",
+    "A2": "configs/yahoo_a2_hyper.yaml",
+    "A3": "configs/yahoo_a3_hyper.yaml",
+    "A4": "configs/yahoo_a4_hyper.yaml",
+}
+
+
+def class_signals(cls, data_root):
+    """Every signal CSV of a Yahoo class, numerically ordered (real_1..67,
+    synthetic_1..100, A{3,4}Benchmark-TS1..100); *_known_anomalies.csv are
+    ground-truth side files, not signals."""
+    d = os.path.join(data_root, "YAHOO", f"{cls}Benchmark")
+    names = [f[:-4] for f in os.listdir(d)
+             if f.endswith(".csv") and "known_anomalies" not in f]
+
+    def order(name):
+        m = re.search(r"(\d+)$", name)
+        return int(m.group(1)) if m else 0
+
+    return sorted(names, key=order)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--classes", default="A1,A2,A3,A4")
+    ap.add_argument("--out", default=".")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override config epochs (default: config's 40)")
+    args = ap.parse_args()
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    from hypad_tpu.cli import cmd_sweep
+    from hypad_tpu.utils.config import load_config
+
+    rows = []
+    walls = {}
+    t_all = time.time()
+    for cls in args.classes.split(","):
+        config_path = os.path.join(repo, CONFIGS[cls])
+        params = load_config(config_path)
+        params.output_root = os.path.abspath(
+            os.path.join(args.out, f"runs_{cls}"))
+        if args.epochs is not None:
+            params.epochs = args.epochs
+        signals = class_signals(cls, params.data_root)
+        print(f"=== {cls}: {len(signals)} signals x {params.epochs} epochs "
+              f"(one fleet program) ===", flush=True)
+        t0 = time.time()
+        results = cmd_sweep(params, config_path, signals=signals)
+        walls[cls] = time.time() - t0
+        for sig, f1 in results:
+            rows.append({"class": cls, "signal": sig,
+                         "f1": np.nan if f1 is None else float(f1)})
+        print(f"=== {cls} done in {walls[cls]:.1f}s ===", flush=True)
+
+    import pandas as pd
+
+    table = pd.DataFrame(rows)
+    out_csv = os.path.abspath(os.path.join(args.out, "yahoo_full.csv"))
+    table.to_csv(out_csv, index=False)
+    print(f"\nper-signal results -> {out_csv}")
+    print(f"total wall-clock: {time.time() - t_all:.1f}s "
+          f"({ {k: round(v, 1) for k, v in walls.items()} })")
+    print("\nclass  n_signals  n_scored  mean_f1(scored)  mean_f1(all,NaN=0)")
+    for cls, g in table.groupby("class"):
+        scored = g["f1"].dropna()
+        print(f"{cls:5}  {len(g):9d}  {len(scored):8d}  "
+              f"{scored.mean() if len(scored) else float('nan'):15.4f}  "
+              f"{g['f1'].fillna(0.0).mean():18.4f}")
+
+
+if __name__ == "__main__":
+    main()
