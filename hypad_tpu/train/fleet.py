@@ -159,6 +159,43 @@ def build_fleet_multi_epoch_fn(lr, hyperbolic, batch_size, epochs_per_call,
     return jax.jit(multi, donate_argnums=(0,))
 
 
+# The STANDALONE single-epoch fleet program (build_fleet_epoch_fn, and any
+# scan-of-1 — XLA simplifies it to the same HLO) kernel-faults the v5e TPU
+# worker for fleets past this size: measured cliff S=64 ok -> S=65 crash on
+# the ragged hyperbolic A1-sized program (2026-08-18, "TPU worker process
+# crashed ... kernel fault"). The SAME body inside a >=2-length epoch scan
+# (build_fleet_multi_epoch_fn) compiles differently and is proven to S=100,
+# as is the non-ragged standalone program at S=67 — but the final 1-epoch
+# checkpoint-cadence chunk of a big fleet must dodge the bad codegen:
+# signals are independent under vmap, so train_fleet runs that chunk in
+# <=64-signal slices (replica-padded to ONE compiled shape, extras
+# discarded) with bit-identical per-signal semantics.
+SINGLE_EPOCH_MAX_S = 64
+
+
+def _single_epoch_sliced(fn, args):
+    """Run the single-epoch fleet program in SINGLE_EPOCH_MAX_S-sized
+    signal slices (see SINGLE_EPOCH_MAX_S). The trailing slice is padded
+    with replicas of the last signals so every call shares one compiled
+    shape; replica outputs are dropped. ``args`` leaves all carry the
+    leading S axis."""
+    S = args[1].shape[0]
+    n_pad = (-S) % SINGLE_EPOCH_MAX_S
+    if n_pad:
+        args = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x, x[-n_pad:]]), args)
+    st_parts, m_parts = [], []
+    for lo in range(0, S + n_pad, SINGLE_EPOCH_MAX_S):
+        sub = jax.tree_util.tree_map(
+            lambda x: x[lo:lo + SINGLE_EPOCH_MAX_S], args)
+        st_p, m_p = fn(*sub)
+        st_parts.append(st_p)
+        m_parts.append(m_p)
+    cat = lambda *xs: jnp.concatenate(xs)[:S]  # noqa: E731
+    return (jax.tree_util.tree_map(cat, *st_parts),
+            jax.tree_util.tree_map(cat, *m_parts))
+
+
 # ---------------------------------------------------------------------------
 # training driver
 # ---------------------------------------------------------------------------
@@ -291,7 +328,10 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
             keys = (key if seeds is not None else
                     jnp.broadcast_to(key, (S_total,) + key.shape))
             args = (states, Xs, keys) + ((n_real,) if ragged else ())
-            states, metrics = get_fn(1)(*args)
+            if S_total > SINGLE_EPOCH_MAX_S:
+                states, metrics = _single_epoch_sliced(get_fn(1), args)
+            else:
+                states, metrics = get_fn(1)(*args)
             stacked = jax.tree_util.tree_map(lambda v: v[None], metrics)
         else:
             args = (states, Xs, key) + ((n_real,) if ragged else ())

@@ -231,3 +231,28 @@ def test_fleet_logs_and_checkpoints():
             assert np.asarray(v).shape == (2,)
             assert np.all(np.isfinite(np.asarray(v)))
     assert ckpts == [2]  # n_epochs-1 cadence point, matching train_tadgan
+
+
+def test_single_epoch_sliced_bitwise(monkeypatch):
+    """Large fleets run the final 1-epoch chunk in SINGLE_EPOCH_MAX_S
+    signal slices (the standalone ragged program kernel-faults the v5e
+    worker past S=64); slicing the vmap over independent signals must be
+    bit-identical to the unsliced program, incl. the replica padding of
+    the trailing slice."""
+    lens = (70, 64, 55)
+    Xs = [_toy_windows(n, seed=s) for s, n in enumerate(lens)]
+    st0 = fl.init_fleet_state(_params(False, 3), lr=5e-4, hyperbolic=False)
+    full = fl.train_fleet(st0, Xs, lr=5e-4, hyperbolic=False, batch_size=32,
+                          n_epochs=11, seed=0)
+    monkeypatch.setattr(fl, "SINGLE_EPOCH_MAX_S", 2)  # 3 -> slices 2 + 1pad
+    st1 = fl.init_fleet_state(_params(False, 3), lr=5e-4, hyperbolic=False)
+    logs = []
+    sliced = fl.train_fleet(st1, Xs, lr=5e-4, hyperbolic=False,
+                            batch_size=32, n_epochs=11, seed=0,
+                            log_cb=lambda e, m: logs.append((e, m)))
+    for i in range(3):
+        _assert_bitwise(fl.unstack_state(full, i),
+                        fl.unstack_state(sliced, i))
+    assert [e for e, _ in logs] == list(range(1, 12))
+    assert all(np.asarray(v).shape == (3,) for _, m in logs
+               for v in m.values())
