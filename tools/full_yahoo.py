@@ -62,6 +62,13 @@ def main():
     ap.add_argument("--out", default=".")
     ap.add_argument("--epochs", type=int, default=None,
                     help="override config epochs (default: config's 40)")
+    ap.add_argument("--detect-only", action="store_true",
+                    help="re-score the classes from their saved checkpoints "
+                         "(a prior run of this tool) without retraining")
+    ap.add_argument("--combinations", default=None,
+                    help="comma-separated combination list ('all' = every "
+                         "mode valid for the class): grid detection over "
+                         "the whole class in one vmapped program")
     args = ap.parse_args()
 
     repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
@@ -79,28 +86,51 @@ def main():
         if args.epochs is not None:
             params.epochs = args.epochs
         signals = class_signals(cls, params.data_root)
+        combos = args.combinations.split(",") if args.combinations else None
+        if combos == ["all"]:  # cli.main's expansion, hyperbolic path
+            from hypad_tpu.detect.scorer import CRITIC_COMBOS
+
+            combos = list(CRITIC_COMBOS + ("rec", "rec_uncertainty"))
         print(f"=== {cls}: {len(signals)} signals x {params.epochs} epochs "
               f"(one fleet program) ===", flush=True)
         t0 = time.time()
-        results = cmd_sweep(params, config_path, signals=signals)
+        results = cmd_sweep(params, config_path, signals=signals,
+                            detect_only=args.detect_only,
+                            combinations=combos)
         walls[cls] = time.time() - t0
-        for sig, f1 in results:
-            rows.append({"class": cls, "signal": sig,
-                         "f1": np.nan if f1 is None else float(f1)})
+        if combos:
+            # grid mode returns (signal, {(rec_error, comb): result}) —
+            # flatten to one row per cell; the family table also lands in
+            # each class's sweep_grid.csv
+            for sig, res in results:
+                for (re_, cb), r in res.items():
+                    m = r["metrics"] or {}
+                    rows.append({"class": cls, "signal": sig,
+                                 "rec_error": re_ or "",
+                                 "combination": cb,
+                                 "f1": m.get("f1", np.nan)})
+        else:
+            for sig, f1 in results:
+                rows.append({"class": cls, "signal": sig,
+                             "f1": np.nan if f1 is None else float(f1)})
         print(f"=== {cls} done in {walls[cls]:.1f}s ===", flush=True)
 
     import pandas as pd
 
     table = pd.DataFrame(rows)
-    out_csv = os.path.abspath(os.path.join(args.out, "yahoo_full.csv"))
+    name = "yahoo_full_grid.csv" if args.combinations else "yahoo_full.csv"
+    out_csv = os.path.abspath(os.path.join(args.out, name))
     table.to_csv(out_csv, index=False)
     print(f"\nper-signal results -> {out_csv}")
     print(f"total wall-clock: {time.time() - t_all:.1f}s "
           f"({ {k: round(v, 1) for k, v in walls.items()} })")
-    print("\nclass  n_signals  n_scored  mean_f1(scored)  mean_f1(all,NaN=0)")
-    for cls, g in table.groupby("class"):
+    keys = (["class", "combination"] if args.combinations else ["class"])
+    print(f"\n{'/'.join(keys)}  n  n_scored  mean_f1(scored)  "
+          "mean_f1(all,NaN=0)")
+    for key, g in table.groupby(keys):
         scored = g["f1"].dropna()
-        print(f"{cls:5}  {len(g):9d}  {len(scored):8d}  "
+        label = key if isinstance(key, str) else "/".join(map(str, key))
+        print(f"{label:28}  {len(g):4d}  {len(scored):8d}  "
               f"{scored.mean() if len(scored) else float('nan'):15.4f}  "
               f"{g['f1'].fillna(0.0).mean():18.4f}")
 
