@@ -177,3 +177,17 @@ def test_fleet_chunk_plan_edges():
         assert S_c == 1 and starts == [0, 1, 2]
     finally:
         scorer.FLEET_MAX_PAIR_ELEMS = old
+
+
+def test_fleet_detect_chunked_on_mesh(monkeypatch):
+    """HBM chunking composes with signal-axis dp sharding: each <=S_c
+    chunk is itself sharded over the mesh (GSPMD pads uneven shards)."""
+    stacked, params, X_list = _family(False)
+    full = sc.detect_scores_fleet(stacked, X_list, False, "mult")
+    monkeypatch.setattr(sc, "FLEET_MAX_PAIR_ELEMS",
+                        2 * (max(LENS) + W - 1) * W * W)
+    mesh = make_mesh("all")
+    chunked = sc.detect_scores_fleet(stacked, X_list, False, "mult",
+                                     mesh=mesh)
+    for c, f in zip(chunked, full):
+        np.testing.assert_allclose(c, f, rtol=3e-4, atol=1e-5)
