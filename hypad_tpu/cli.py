@@ -452,6 +452,23 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
     return results
 
 
+def expand_combinations(params, combos):
+    """``["all"]`` -> every combination valid for the config's path
+    (hyperbolic/multivariate: the 6 critic modes + rec/rec_uncertainty;
+    euclidean: the 4 reference score_anomalies modes). Any other list
+    passes through for _validate_grid to check."""
+    if combos != ["all"]:
+        return combos
+    from hypad_tpu.data.registry import MULTIVARIATE_DATASETS
+    from hypad_tpu.detect.scorer import CRITIC_COMBOS, EUCL_COMBOS
+
+    hyper_like = (params.hyperbolic
+                  or params.signal == "multivariate"
+                  or params.dataset in MULTIVARIATE_DATASETS)
+    return list(CRITIC_COMBOS + ("rec", "rec_uncertainty")
+                if hyper_like else EUCL_COMBOS)
+
+
 def cmd_detect(params, config_path, rec_errors=None, combinations=None):
     from hypad_tpu.parallel.mesh import make_mesh
     from hypad_tpu.utils import checkpoint as ck
@@ -528,16 +545,8 @@ def main(argv=None):
     print(f"dataset: {params.dataset}, signal: {params.signal}")
     print(params)
 
-    combos = args.combinations.split(",") if args.combinations else None
-    if combos == ["all"]:
-        from hypad_tpu.data.registry import MULTIVARIATE_DATASETS
-        from hypad_tpu.detect.scorer import CRITIC_COMBOS, EUCL_COMBOS
-
-        hyper_like = (params.hyperbolic
-                      or params.signal == "multivariate"
-                      or params.dataset in MULTIVARIATE_DATASETS)
-        combos = list(CRITIC_COMBOS + ("rec", "rec_uncertainty")
-                      if hyper_like else EUCL_COMBOS)
+    combos = expand_combinations(
+        params, args.combinations.split(",") if args.combinations else None)
     recs = args.rec_errors.split(",") if args.rec_errors else None
     if command == "train":
         cmd_train(params, args.config)

@@ -830,23 +830,22 @@ def _fleet_chunked(run, stacked_params, Xs, n_real, smooth):
     S = Xs.shape[0]
     starts, S_c = _fleet_chunk_plan(S, Xs.shape[1], Xs.shape[2])
     if starts is None:
-        out = run(stacked_params, Xs, n_real, smooth)
-        return (jax.tree_util.tree_map(np.asarray, dict(out))
-                if isinstance(out, dict) else np.asarray(out))
+        # device_get batches the device->host copies (per-leaf np.asarray
+        # would serialize one ~24 ms tunnel round-trip per grid cell)
+        return jax.device_get(run(stacked_params, Xs, n_real, smooth))
     full = None
     for start in starts:
         sl = slice(start, start + S_c)
-        sub = run(jax.tree_util.tree_map(lambda x: x[sl], stacked_params),
-                  Xs[sl], n_real[sl], smooth[sl])
+        sub = jax.device_get(
+            run(jax.tree_util.tree_map(lambda x: x[sl], stacked_params),
+                Xs[sl], n_real[sl], smooth[sl]))
         if isinstance(sub, dict):
-            sub = {k: np.asarray(v) for k, v in sub.items()}
             if full is None:
                 full = {k: np.zeros((S,) + v.shape[1:], v.dtype)
                         for k, v in sub.items()}
             for k, v in sub.items():
                 full[k][sl] = v
         else:
-            sub = np.asarray(sub)
             if full is None:
                 full = np.zeros((S,) + sub.shape[1:], sub.dtype)
             full[sl] = sub

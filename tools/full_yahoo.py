@@ -30,6 +30,7 @@ import sys
 import time
 
 import numpy as np
+import pandas as pd  # fail fast: needed for the aggregate CSV at the end
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -86,11 +87,11 @@ def main():
         if args.epochs is not None:
             params.epochs = args.epochs
         signals = class_signals(cls, params.data_root)
-        combos = args.combinations.split(",") if args.combinations else None
-        if combos == ["all"]:  # cli.main's expansion, hyperbolic path
-            from hypad_tpu.detect.scorer import CRITIC_COMBOS
+        from hypad_tpu.cli import expand_combinations
 
-            combos = list(CRITIC_COMBOS + ("rec", "rec_uncertainty"))
+        combos = expand_combinations(
+            params,
+            args.combinations.split(",") if args.combinations else None)
         print(f"=== {cls}: {len(signals)} signals x {params.epochs} epochs "
               f"(one fleet program) ===", flush=True)
         t0 = time.time()
@@ -114,8 +115,6 @@ def main():
                 rows.append({"class": cls, "signal": sig,
                              "f1": np.nan if f1 is None else float(f1)})
         print(f"=== {cls} done in {walls[cls]:.1f}s ===", flush=True)
-
-    import pandas as pd
 
     table = pd.DataFrame(rows)
     name = "yahoo_full_grid.csv" if args.combinations else "yahoo_full.csv"
