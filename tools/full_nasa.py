@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--detect-only", action="store_true",
                     help="re-score from saved checkpoints (a prior run of "
                          "this tool) without retraining")
+    ap.add_argument("--rec-errors", default=None,
+                    help="comma-separated rec_error list (euclidean grid "
+                         "detection: every rec_error x combination cell)")
     ap.add_argument("--combinations", default=None,
                     help="grid detection over the family ('all' = every "
                          "mode valid for the family's path)")
@@ -104,11 +107,12 @@ def main():
         print(f"=== {fam}: {len(signals)} channels x {params.epochs} epochs "
               f"(one fleet program) ===", flush=True)
         t0 = time.time()
+        recs = args.rec_errors.split(",") if args.rec_errors else None
         results = cmd_sweep(params, config_path, signals=signals,
                             detect_only=args.detect_only,
-                            combinations=combos)
+                            rec_errors=recs, combinations=combos)
         walls[fam] = time.time() - t0
-        if combos:
+        if combos or recs:
             for sig, res in results:
                 for (re_, cb), r in res.items():
                     m = r["metrics"] or {}
@@ -123,13 +127,15 @@ def main():
         print(f"=== {fam} done in {walls[fam]:.1f}s ===", flush=True)
 
     table = pd.DataFrame(rows)
-    name = "nasa_full_grid.csv" if args.combinations else "nasa_full.csv"
+    name = "nasa_full_grid.csv" if (args.combinations or args.rec_errors) else "nasa_full.csv"
     out_csv = os.path.abspath(os.path.join(args.out, name))
     table.to_csv(out_csv, index=False)
     print(f"\nper-channel results -> {out_csv}")
     print(f"total wall-clock: {time.time() - t_all:.1f}s "
           f"({ {k: round(v, 1) for k, v in walls.items()} })")
-    keys = (["family", "combination"] if args.combinations else ["family"])
+    keys = (["family", "rec_error", "combination"]
+            if args.rec_errors else
+            ["family", "combination"] if args.combinations else ["family"])
     print(f"\n{'/'.join(keys)}  n  n_scored  mean_f1(scored)  "
           "mean_f1(all,NaN=0)")
     for key, g in table.groupby(keys):

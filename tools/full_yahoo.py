@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--detect-only", action="store_true",
                     help="re-score the classes from their saved checkpoints "
                          "(a prior run of this tool) without retraining")
+    ap.add_argument("--rec-errors", default=None,
+                    help="comma-separated rec_error list (euclidean grid "
+                         "detection: every rec_error x combination cell)")
     ap.add_argument("--combinations", default=None,
                     help="comma-separated combination list ('all' = every "
                          "mode valid for the class): grid detection over "
@@ -95,11 +98,12 @@ def main():
         print(f"=== {cls}: {len(signals)} signals x {params.epochs} epochs "
               f"(one fleet program) ===", flush=True)
         t0 = time.time()
+        recs = args.rec_errors.split(",") if args.rec_errors else None
         results = cmd_sweep(params, config_path, signals=signals,
                             detect_only=args.detect_only,
-                            combinations=combos)
+                            rec_errors=recs, combinations=combos)
         walls[cls] = time.time() - t0
-        if combos:
+        if combos or recs:
             # grid mode returns (signal, {(rec_error, comb): result}) —
             # flatten to one row per cell; the family table also lands in
             # each class's sweep_grid.csv
@@ -117,13 +121,15 @@ def main():
         print(f"=== {cls} done in {walls[cls]:.1f}s ===", flush=True)
 
     table = pd.DataFrame(rows)
-    name = "yahoo_full_grid.csv" if args.combinations else "yahoo_full.csv"
+    name = "yahoo_full_grid.csv" if (args.combinations or args.rec_errors) else "yahoo_full.csv"
     out_csv = os.path.abspath(os.path.join(args.out, name))
     table.to_csv(out_csv, index=False)
     print(f"\nper-signal results -> {out_csv}")
     print(f"total wall-clock: {time.time() - t_all:.1f}s "
           f"({ {k: round(v, 1) for k, v in walls.items()} })")
-    keys = (["class", "combination"] if args.combinations else ["class"])
+    keys = (["class", "rec_error", "combination"]
+            if args.rec_errors else
+            ["class", "combination"] if args.combinations else ["class"])
     print(f"\n{'/'.join(keys)}  n  n_scored  mean_f1(scored)  "
           "mean_f1(all,NaN=0)")
     for key, g in table.groupby(keys):
