@@ -201,6 +201,11 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
     protocol behind PARITY.md's A3/A4 tables: 8 signals x 3 seeds = 24
     models, one program). A --seeds flag with only a config ``signals:``
     list is a band of the config's signal (the list is ignored).
+
+    Returns one ``(signal, seed, f1)`` tuple per trained pair in pair
+    order (grid mode: ``(signal, seed, {(rec_error, comb): result})``);
+    ``seed`` is the effective per-run seed, so study drivers can verify
+    their (signal, seed) alignment instead of trusting the pair ordering.
     """
     import argparse as ap
     import copy
@@ -421,13 +426,13 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
                                   "rec_error": re_ or "",
                                   "combination": cb,
                                   "f1": m.get("f1", np.nan)})
-            results.append((p.signal, res))
+            results.append((p.signal, p.seed, res))
         else:
             res = _run_detection(p, p_i, test_data, path, read_path,
                                  mesh=mesh,
                                  precomputed_scores=fleet_scores[i])
             m = res["metrics"]
-            results.append((p.signal, m["f1"] if m else None))
+            results.append((p.signal, p.seed, m["f1"] if m else None))
     if grid_mode:
         # family-level model selection: mean f1 per cell over every
         # (signal, seed), best cell first; full table -> sweep_grid.csv
@@ -445,7 +450,7 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
             print(f"  {cell}: {row['mean']:.4f} "
                   f"(n={int(row['count'])})")
         return results
-    scored = [f for _, f in results if f is not None]
+    scored = [f for _, _, f in results if f is not None]
     if scored:
         print(f"sweep mean f1 over {len(scored)}/{len(results)} signals: "
               f"{float(np.mean(scored)):.4f}")

@@ -113,7 +113,7 @@ def main():
                             rec_errors=recs, combinations=combos)
         walls[fam] = time.time() - t0
         if combos or recs:
-            for sig, res in results:
+            for sig, _sd, res in results:
                 for (re_, cb), r in res.items():
                     m = r["metrics"] or {}
                     rows.append({"family": fam, "signal": sig,
@@ -121,7 +121,7 @@ def main():
                                  "combination": cb,
                                  "f1": m.get("f1", np.nan)})
         else:
-            for sig, f1 in results:
+            for sig, _sd, f1 in results:
                 rows.append({"family": fam, "signal": sig,
                              "f1": np.nan if f1 is None else float(f1)})
         print(f"=== {fam} done in {walls[fam]:.1f}s ===", flush=True)

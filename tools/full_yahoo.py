@@ -107,7 +107,7 @@ def main():
             # grid mode returns (signal, {(rec_error, comb): result}) —
             # flatten to one row per cell; the family table also lands in
             # each class's sweep_grid.csv
-            for sig, res in results:
+            for sig, _sd, res in results:
                 for (re_, cb), r in res.items():
                     m = r["metrics"] or {}
                     rows.append({"class": cls, "signal": sig,
@@ -115,7 +115,7 @@ def main():
                                  "combination": cb,
                                  "f1": m.get("f1", np.nan)})
         else:
-            for sig, f1 in results:
+            for sig, _sd, f1 in results:
                 rows.append({"class": cls, "signal": sig,
                              "f1": np.nan if f1 is None else float(f1)})
         print(f"=== {cls} done in {walls[cls]:.1f}s ===", flush=True)

@@ -71,15 +71,15 @@ def main():
     results = cmd_sweep(params, config_path, signals=signals, seeds=seeds)
     wall = time.time() - t0
 
-    # cmd_sweep's cross-product pair order is [(sig, sd) for sig for sd]
-    # (cli.py pairs construction); results align with it
-    pairs = [(sig, sd) for sig in signals for sd in seeds]
-    assert len(results) == len(pairs)
+    # cmd_sweep returns (signal, seed, f1) per pair — the seed column comes
+    # from the results themselves, so a reorder of cli.py's pairs
+    # construction cannot silently mislabel it
+    assert len(results) == len(signals) * len(seeds)
+    assert {(sig, sd) for sig, sd, _ in results} == {
+        (sig, sd) for sig in signals for sd in seeds}
     rows = [{"class": args.cls, "signal": sig, "seed": sd,
              "f1": np.nan if f1 is None else float(f1)}
-            for (sig, sd), (rsig, f1) in zip(pairs, results)]
-    for (sig, _), (rsig, _) in zip(pairs, results):
-        assert sig == rsig, (sig, rsig)
+            for sig, sd, f1 in results]
     table = pd.DataFrame(rows)
     out_csv = os.path.abspath(
         os.path.join(args.out, f"yahoo_{args.cls.lower()}_seedband.csv"))
@@ -94,13 +94,14 @@ def main():
               f"{scored.mean() if len(scored) else float('nan'):15.4f}  "
               f"{g['f1'].fillna(0.0).mean():18.4f}")
 
-    # cross-seed stability: per-signal band width on the 0-filled scale
-    # (an unscored seed counts as 0 — the aggregate convention above)
-    wide = table.pivot(index="signal", columns="seed",
-                       values="f1").fillna(0.0)
+    # cross-seed stability: scored/unscored comes from notna (a genuine
+    # f1 == 0.0 still counts as scored); band widths use the 0-filled
+    # scale (an unscored seed counts as 0 — the aggregate convention above)
+    pivot = table.pivot(index="signal", columns="seed", values="f1")
+    wide = pivot.fillna(0.0)
     band = wide.max(axis=1) - wide.min(axis=1)
-    n_all = (wide > 0).all(axis=1).sum()
-    n_any = (wide > 0).any(axis=1).sum()
+    n_all = pivot.notna().all(axis=1).sum()
+    n_any = pivot.notna().any(axis=1).sum()
     print(f"\ncross-seed stability over {len(wide)} signals:")
     print(f"  scored under every seed: {n_all}; under >=1 seed: {n_any}; "
           f"under none: {len(wide) - n_any}")
