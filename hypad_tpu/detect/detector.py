@@ -136,9 +136,8 @@ def detect(params, state_params, test_data, run_path, read_path="",
             run_path, f"scores_mv_{params.combination}", compute,
             enabled=params.load)
         intervals = iv.find_anomalies(
-            np.asarray(final_scores).reshape(-1), np.arange(len(final_scores)),
-            window_size_portion=0.2, window_step_size_portion=0.1,
-            fixed_threshold=True, anomaly_padding=200)
+            np.asarray(final_scores).reshape(-1),
+            np.arange(len(final_scores)), **_MV_FA_KW)
     else:
         if params.hyperbolic:
             compute = lambda: sc.score_anomalies_hyperbolic(  # noqa: E731
@@ -216,21 +215,28 @@ def detect_grid(params, state_params, test_data, run_path, read_path="",
                                      combinations, rec_errors=rec_errors,
                                      mesh=mesh, multivariate=is_mv)
 
+    # interval extraction for ALL cells in one vectorized batch — one grid's
+    # cells share a score length by construction (per-window hyperbolic /
+    # unrolled euclidean / per-timestep multivariate), and at benchmark-grid
+    # scale the serial per-cell epilogue was the measured frontier
+    # (intervals.find_anomalies_batch; bitwise per cell vs find_anomalies)
+    cells = list(grid.keys())
+    score_matrix = np.stack([np.asarray(grid[c]).reshape(-1) for c in cells])
+    if is_mv:
+        true_index = np.arange(score_matrix.shape[1])
+        all_intervals = iv.find_anomalies_batch(score_matrix, true_index,
+                                                **_MV_FA_KW)
+    else:
+        true_index = np.asarray(test_data.index)
+        all_intervals = iv.find_anomalies_batch(score_matrix, true_index,
+                                                **_UNIVARIATE_FA_KW)
+
     rows = []
     results = {}
-    for (re_, cb), scores in grid.items():
-        scores = np.asarray(scores)
-        if is_mv:
-            intervals = iv.find_anomalies(
-                scores.reshape(-1), np.arange(len(scores)),
-                window_size_portion=0.2, window_step_size_portion=0.1,
-                fixed_threshold=True, anomaly_padding=200)
-            true_index = np.arange(len(scores))
-        else:
-            true_index = np.asarray(test_data.index)
-            intervals = _univariate_intervals(scores, true_index)
+    for (re_, cb), scores, intervals in zip(cells, score_matrix,
+                                            all_intervals):
         confusion, metrics = _confusion_and_metrics(
-            known_anomalies, _pred_frame(intervals), verbose=False)
+            known_anomalies, intervals, verbose=False)
         results[(re_, cb)] = {"scores": scores, "intervals": intervals,
                               "confusion": confusion, "metrics": metrics}
         cell = cb if re_ is None else f"{re_}/{cb}"
@@ -265,25 +271,36 @@ def _confusion_and_metrics(known_anomalies, pred, verbose=True):
     legitimately excuses: empty predictions / no ground truth -> undefined
     precision/recall (utils/anomaly_detection_utils.py:105-113). Anything
     else is a real regression in the metrics path and must propagate, not
-    be silently reported as confusion=[0,0,0,0]."""
+    be silently reported as confusion=[0,0,0,0].
+
+    ``pred`` may be a start/end DataFrame or the raw find_anomalies
+    interval array. The (pairwise-overlap) confusion matrix is computed
+    once and the metrics derived from it — at grid scale the doubled
+    matrix was a measured share of the per-cell epilogue."""
     try:
         confusion = mt.contextual_confusion_matrix(known_anomalies, pred,
                                                    weighted=False)
-        metrics = mt.compute_metrics(known_anomalies, pred, verbose=verbose)
+        metrics = mt.metrics_from_confusion(confusion, verbose=verbose)
         return confusion, metrics
     except ZeroDivisionError:
         return [0, 0, 0, 0], None
 
 
+# the reference's fixed interval-extraction parameters, ONE definition for
+# the single-cell, fleet, and batched-grid paths so a tuning change cannot
+# diverge them: univariate = anomaly_detection.py:64-69 (0.33/0.1 windows,
+# fixed threshold); multivariate = utils/anomaly_detection_utils.py:206-213
+# (0.2/0.1 windows, padding 200)
+_UNIVARIATE_FA_KW = dict(window_size_portion=0.33,
+                         window_step_size_portion=0.1, fixed_threshold=True)
+_MV_FA_KW = dict(window_size_portion=0.2, window_step_size_portion=0.1,
+                 fixed_threshold=True, anomaly_padding=200)
+
+
 def _univariate_intervals(final_scores, true_index):
-    """Univariate interval extraction — the reference's fixed parameters
-    (anomaly_detection.py:64-69: 0.33/0.1 windows, fixed threshold); ONE
-    definition shared by the device path and the fleet (precomputed-scores)
-    path so a tuning change cannot diverge them."""
-    return iv.find_anomalies(
-        final_scores.reshape(-1), true_index,
-        window_size_portion=0.33, window_step_size_portion=0.1,
-        fixed_threshold=True)
+    """Univariate interval extraction (see _UNIVARIATE_FA_KW)."""
+    return iv.find_anomalies(final_scores.reshape(-1), true_index,
+                             **_UNIVARIATE_FA_KW)
 
 
 def _host_epilogue(params, final_scores, intervals, known_anomalies,

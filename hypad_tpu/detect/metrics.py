@@ -47,6 +47,18 @@ def _overlap_segment(expected, observed):
     return None, fp, fn, tp
 
 
+def _interval_rows(intervals):
+    """Normalize an interval collection to a list of (start, end) tuples:
+    accepts a list of pairs, an (k, >=2) ndarray (find_anomalies output —
+    extra columns like the score are ignored), or a start/end DataFrame."""
+    if isinstance(intervals, list):
+        return intervals
+    if isinstance(intervals, np.ndarray):
+        return ([] if intervals.size == 0
+                else [(row[0], row[1]) for row in intervals])
+    return list(intervals[["start", "end"]].itertuples(index=False))
+
+
 def contextual_confusion_matrix(expected, observed, data=None, start=None,
                                 end=None, weighted=False):
     """Returns (tn, fp, fn, tp); tn is always None for the overlap method."""
@@ -59,21 +71,17 @@ def contextual_confusion_matrix(expected, observed, data=None, start=None,
     if data is not None:
         start = data["timestamp"].min()
         end = data["timestamp"].max()
-    if not isinstance(expected, list):
-        expected = list(expected[["start", "end"]].itertuples(index=False))
-    if not isinstance(observed, list):
-        observed = list(observed[["start", "end"]].itertuples(index=False))
-    expected = _pad(expected)
-    observed = _pad(observed)
+    expected = _pad(_interval_rows(expected))
+    observed = _pad(_interval_rows(observed))
     return _overlap_segment(expected, observed)
 
 
-def compute_metrics(known_anomalies, pred_anomalies, verbose=True):
-    """Precision/recall/F1/gmean from the overlap confusion matrix
-    (reference compute_metrics, :241-254). Returns a dict; raises
-    ZeroDivisionError like the reference when there are no predictions."""
-    tn, fp, fn, tp = contextual_confusion_matrix(
-        known_anomalies, pred_anomalies, weighted=False)
+def metrics_from_confusion(confusion, verbose=True):
+    """Precision/recall/F1/gmean from an already-computed overlap confusion
+    matrix — lets callers that need both the counts and the metrics compute
+    the (pairwise-overlap) matrix once. Raises ZeroDivisionError like the
+    reference when there are no predictions (:105-113 excusal contract)."""
+    tn, fp, fn, tp = confusion
     precision = tp / (tp + fp)
     recall = tp / (tp + fn)
     f1 = 2 * (precision * recall) / (precision + recall)
@@ -84,6 +92,15 @@ def compute_metrics(known_anomalies, pred_anomalies, verbose=True):
     return {"tn": tn, "fp": fp, "fn": fn, "tp": tp,
             "precision": precision, "recall": recall, "f1": f1,
             "gmean": gmean}
+
+
+def compute_metrics(known_anomalies, pred_anomalies, verbose=True):
+    """Precision/recall/F1/gmean from the overlap confusion matrix
+    (reference compute_metrics, :241-254). Returns a dict; raises
+    ZeroDivisionError like the reference when there are no predictions."""
+    return metrics_from_confusion(
+        contextual_confusion_matrix(known_anomalies, pred_anomalies,
+                                    weighted=False), verbose=verbose)
 
 
 def pointwise_scores(y_true, y_predict, verbose=True):

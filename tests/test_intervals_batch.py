@@ -1,0 +1,149 @@
+"""Batched interval extraction (detect/intervals.find_anomalies_batch) and
+the de-pandas'd metrics fast paths.
+
+The batched driver vectorizes the per-window statistics/threshold/dilation
+across the cell axis; everything must stay BITWISE equal per cell to the
+serial ``find_anomalies`` (which itself is golden vs the reference chain,
+utils/anomaly_detection_utils.py:1363-1472 — tests/test_scoring.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hypad_tpu.detect import intervals as iv
+from hypad_tpu.detect import metrics as mt
+
+
+def _score_matrix(rng, C, T, n_spikes=4):
+    E = 1.0 + 0.15 * rng.standard_normal((C, T))
+    for c in range(C):
+        for _ in range(rng.integers(0, n_spikes)):
+            s = rng.integers(0, T - 30)
+            E[c, s:s + rng.integers(1, 25)] += rng.uniform(1, 6)
+    return E
+
+
+@pytest.mark.parametrize("C,T,kw", [
+    (17, 1519, dict(window_size_portion=0.33, window_step_size_portion=0.1,
+                    fixed_threshold=True)),                 # univariate
+    (9, 3000, dict(window_size_portion=0.2, window_step_size_portion=0.1,
+                   fixed_threshold=True, anomaly_padding=200)),  # mv
+    (7, 900, dict(window_size_portion=0.33, window_step_size_portion=0.1,
+                  fixed_threshold=True, lower_threshold=True)),
+    (5, 700, dict(fixed_threshold=True)),                   # single window
+])
+def test_find_anomalies_batch_bitwise(C, T, kw):
+    rng = np.random.default_rng(hash((C, T)) % 2**31)
+    E = _score_matrix(rng, C, T)
+    idx = np.arange(T) * 21600
+    batch = iv.find_anomalies_batch(E, idx, **kw)
+    per = [iv.find_anomalies(E[c], idx, **kw) for c in range(C)]
+    assert sum(len(p) for p in per) > 0, "degenerate fixture: no intervals"
+    for b, p in zip(batch, per):
+        assert np.array_equal(b, p)
+
+
+def test_find_anomalies_batch_per_cell_indexes_and_dynamic_fallback():
+    rng = np.random.default_rng(0)
+    E = _score_matrix(rng, 3, 800)
+    idxs = [np.arange(800) * (k + 1) for k in range(3)]
+    kw = dict(window_size_portion=0.33, window_step_size_portion=0.1)
+    batch = iv.find_anomalies_batch(E, idxs, fixed_threshold=True, **kw)
+    per = [iv.find_anomalies(E[c], idxs[c], fixed_threshold=True, **kw)
+           for c in range(3)]
+    for b, p in zip(batch, per):
+        assert np.array_equal(b, p)
+    # dynamic thresholds take the exact per-cell path
+    batch_dyn = iv.find_anomalies_batch(E, idxs, fixed_threshold=False, **kw)
+    per_dyn = [iv.find_anomalies(E[c], idxs[c], fixed_threshold=False, **kw)
+               for c in range(3)]
+    for b, p in zip(batch_dyn, per_dyn):
+        assert np.array_equal(b, p)
+
+
+def test_find_anomalies_batch_rejects_non_matrix():
+    with pytest.raises(ValueError, match="C, T"):
+        iv.find_anomalies_batch(np.zeros(10), np.arange(10))
+
+
+def test_merge_sequences_matches_per_step_average_oracle():
+    # the chain-closing optimization must reproduce the reference's
+    # per-step np.average recomputation exactly (only the final value of a
+    # chain ever escapes)
+    def merge_oracle(sequences):
+        s = sorted(sequences, key=lambda e: e[0])
+        merged, score, weights = [s[0]], [s[0][2]], [s[0][1] - s[0][0]]
+        for seq in s[1:]:
+            prev = merged[-1]
+            if seq[0] <= prev[1] + 1:
+                score.append(seq[2])
+                weights.append(seq[1] - seq[0])
+                merged[-1] = (prev[0], max(prev[1], seq[1]),
+                              np.average(score, weights=weights))
+            else:
+                score, weights = [seq[2]], [seq[1] - seq[0]]
+                merged.append(seq)
+        return np.array(merged)
+
+    rng = np.random.default_rng(11)
+    seqs, pos = [], 0
+    for _ in range(300):
+        pos += int(rng.integers(0, 30))
+        seqs.append([pos, pos + int(rng.integers(1, 40)),
+                     float(rng.standard_normal())])
+    got = iv.merge_sequences(list(seqs))
+    want = merge_oracle(list(seqs))
+    assert len(want) < len(seqs), "fixture must exercise long chains"
+    assert np.array_equal(got, want)
+
+
+def test_prune_anomalies_preserves_nan_and_inf_semantics():
+    # the reference's vector formula: increase = (max - next)/max with
+    # errstate ignore; 0/0 -> nan (comparison False -> kept boundary),
+    # positive/0 -> inf, negative/0 -> -inf
+    def prune_oracle(max_errors, min_percent):
+        e = np.array([r[2] for r in max_errors])
+        if len(e) < 2:
+            return []
+        with np.errstate(invalid="ignore", divide="ignore"):
+            increase = (e[:-1] - e[1:]) / e[:-1]
+        too_small = increase < min_percent
+        last = -1 if too_small.all() else int(np.flatnonzero(~too_small)[-1])
+        return max_errors[: last + 1]
+
+    cases = [
+        [(0, 1, 5.0), (2, 3, 4.0), (-1, -1, 0.1)],
+        [(0, 1, 5.0), (2, 3, 4.9), (-1, -1, 4.85)],      # all too small
+        [(0, 1, 0.0), (2, 3, 0.0)],                      # 0/0 -> nan
+        [(0, 1, 0.0), (2, 3, -1.0)],                     # pos diff / 0 -> inf
+        [(0, 1, -1.0), (2, 3, -2.0)],                    # negative maxima
+        [(0, 1, 3.0)],                                   # sentinel only
+    ]
+    for rows in cases:
+        got = list(iv.prune_anomalies(list(rows), 0.1))
+        want = list(prune_oracle(list(rows), 0.1))
+        assert got == want, rows
+
+
+def test_confusion_accepts_interval_arrays_and_frames():
+    expected = pd.DataFrame({"start": [100, 500], "end": [150, 600]})
+    arr = np.array([[120.0, 130.0, 1.7], [900.0, 950.0, 1.1]])
+    frame = pd.DataFrame(arr, columns=["start", "end", "score"])
+    got_arr = mt.contextual_confusion_matrix(expected, arr)
+    got_frame = mt.contextual_confusion_matrix(expected, frame)
+    assert got_arr == got_frame == (None, 1, 1, 1)
+    # empty interval array == empty frame
+    empty = np.array([])
+    got = mt.contextual_confusion_matrix(expected, empty)
+    assert got == (None, 0, 2, 0)
+
+
+def test_metrics_from_confusion_matches_compute_metrics():
+    expected = [(0, 10), (50, 60), (90, 95)]
+    observed = [(5, 12), (70, 75)]
+    confusion = mt.contextual_confusion_matrix(expected, observed)
+    a = mt.metrics_from_confusion(confusion, verbose=False)
+    b = mt.compute_metrics(expected, observed, verbose=False)
+    assert a == b
+    with pytest.raises(ZeroDivisionError):
+        mt.metrics_from_confusion((None, 0, 3, 0), verbose=False)
