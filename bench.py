@@ -5,6 +5,12 @@ Prints ONE JSON line:
 
 value      = steady-state training epoch wall-clock (seconds) on the current
              default JAX backend (the TPU under the driver).
+
+Every timed metric is the BEST of N_TIMED_REPS forced-completion
+repetitions after one warm call, and extras["spread"] records each metric's
+relative (max-min)/min band — tunnel variance at small N made single-shot
+numbers drift up to 1.6x between rounds (VERDICT r3 item 6); two runs now
+agree within the recorded spread or flag a real regression.
 vs_baseline= speedup vs the PyTorch-CPU reference measured on this machine
              (aleflabo/HypAD @ /root/reference run via /tmp sandbox shims):
              2.247 s/epoch on Yahoo A1 hyperbolic, batch 64, lr 5e-4
@@ -67,21 +73,50 @@ REF_DETECT_WPS = 392.6          # PyTorch-CPU reference detection throughput
 REF_SMAP_EPOCH_SECONDS = 11.4   # PyTorch-CPU reference, SMAP A-1 (2780 win)
 
 N_TIMED_EPOCHS = 20
+N_TIMED_REPS = 3
+
+# relative spread ((max-min)/min over the N_TIMED_REPS timed repetitions) of
+# every timed metric, keyed by its extras field name — accumulated during the
+# run and emitted as extras["spread"] so two consecutive bench runs can be
+# compared against measured variance instead of eyeballed (VERDICT r3 item 6)
+SPREAD = {}
+
+
+def _spread(ts):
+    return round((max(ts) - min(ts)) / min(ts), 4)
+
+
+def _rep_times(fn, force, n_reps=N_TIMED_REPS):
+    """Shared timing protocol: one warm call (compile + remote fingerprint),
+    then ``n_reps`` timed calls with forced completion (fetch a value —
+    block_until_ready lies through the tunnel). Returns (best_seconds,
+    relative spread)."""
+    force(fn())
+    ts = []
+    for _ in range(n_reps):
+        t0 = time.time()
+        force(fn())
+        ts.append(time.time() - t0)
+    return min(ts), _spread(ts)
 
 
 def _timed_epochs(tr, state, X, multi_fn, key):
-    """One warm 20-epoch program; forced-completion timing."""
+    """Warm 20-epoch program; best-of-N forced-completion timing. The state
+    advances across repetitions (shapes are static, so timing is unaffected)."""
     import jax
 
-    state, m = multi_fn(state, X, jax.random.fold_in(key, 1000))
-    float(m["decoder_loss"][-1])
-    t0 = time.time()
-    state, m = multi_fn(state, X, jax.random.fold_in(key, 0))
-    float(m["decoder_loss"][-1])
-    return state, (time.time() - t0) / N_TIMED_EPOCHS
+    holder = [state]
+
+    def run():
+        holder[0], m = multi_fn(holder[0], X, jax.random.fold_in(key, 0))
+        return m
+
+    best, spr = _rep_times(run, lambda m: float(m["decoder_loss"][-1]))
+    return holder[0], best / N_TIMED_EPOCHS, spr
 
 
-def _train_bench(hyperbolic, csv, yahoo, interval, mesh, batch):
+def _train_bench(hyperbolic, csv, yahoo, interval, mesh, batch,
+                 spread_key=None):
     import jax
     import jax.numpy as jnp
 
@@ -100,8 +135,10 @@ def _train_bench(hyperbolic, csv, yahoo, interval, mesh, batch):
     state = jax.device_put(state, jax.devices()[0])
     multi_fn = tr.build_multi_epoch_fn(5e-4, hyperbolic, batch,
                                        N_TIMED_EPOCHS, mesh=mesh)
-    state, epoch_s = _timed_epochs(tr, state, X, multi_fn,
-                                   jax.random.PRNGKey(1))
+    state, epoch_s, spr = _timed_epochs(tr, state, X, multi_fn,
+                                        jax.random.PRNGKey(1))
+    if spread_key:
+        SPREAD[spread_key] = spr
     return data, state, epoch_s
 
 
@@ -162,15 +199,13 @@ def _pallas_onchip_check(data, state):
     return bool(kde_ok and ml_ok), int(max(v1_flips, v2_flips)), ml_maxdiff
 
 
-def _throughput(fn, n):
-    """Shared timing protocol: one warm call (compile + remote fingerprint),
-    then one timed call with forced completion (float-fetch the last
-    element — block_until_ready lies through the tunnel)."""
-    fn()
-    t0 = time.time()
-    out = fn()
-    float(out[-1])
-    return n / (time.time() - t0)
+def _throughput(fn, n, spread_key=None):
+    """Best-of-N windows/sec with forced completion; records the relative
+    spread under ``spread_key`` in the global SPREAD table."""
+    best, spr = _rep_times(fn, lambda out: float(out[-1]))
+    if spread_key:
+        SPREAD[spread_key] = spr
+    return n / best
 
 
 def main():
@@ -188,12 +223,14 @@ def main():
 
     # ---- headline: hyperbolic Yahoo A1 training epoch
     a1_csv = os.path.join(data_root, "YAHOO", "A1Benchmark", "real_1.csv")
-    data, state, epoch_s = _train_bench(True, a1_csv, True, 1, mesh, batch)
+    data, state, epoch_s = _train_bench(True, a1_csv, True, 1, mesh, batch,
+                                        spread_key="a1_hyper_epoch")
 
     # ---- euclidean NAB training epoch (the other half of the framework)
     nab_csv = os.path.join(data_root, "Twitter_volume_AAPL.csv")
     eucl_data, eucl_state, eucl_epoch_s = _train_bench(
-        False, nab_csv, False, 21600, mesh, batch)
+        False, nab_csv, False, 21600, mesh, batch,
+        spread_key="eucl_epoch_s")
 
     # ---- fleet: 9 hyperbolic models trained in ONE vmapped program
     # (train/fleet.py) on the same A1-sized windows; signal-epoch cost and
@@ -213,19 +250,23 @@ def main():
     fleet_multi = fl.build_fleet_multi_epoch_fn(5e-4, True, batch,
                                                 N_TIMED_EPOCHS)
     fkey = jax.random.PRNGKey(5)
-    fstate, fm = fleet_multi(fstate, Xs, jax.random.fold_in(fkey, 1000))
-    float(jnp.sum(fm["decoder_loss"][-1]))
-    t0 = time.time()
-    fstate, fm = fleet_multi(fstate, Xs, jax.random.fold_in(fkey, 0))
-    float(jnp.sum(fm["decoder_loss"][-1]))
-    fleet_epoch_s = (time.time() - t0) / N_TIMED_EPOCHS
-    del fstate, Xs
+    fholder = [fstate]
+
+    def _fleet_run():
+        fholder[0], fm = fleet_multi(fholder[0], Xs, jax.random.fold_in(
+            fkey, 0))
+        return fm
+
+    best, SPREAD["fleet9_epoch_s"] = _rep_times(
+        _fleet_run, lambda fm: float(jnp.sum(fm["decoder_loss"][-1])))
+    fleet_epoch_s = best / N_TIMED_EPOCHS
+    del fholder, fstate, Xs
 
     # ---- scoring throughput, hyperbolic pipeline (mesh-sharded when >1 dev)
     inf = sc.run_inference(state.params, data.X, True, mesh=mesh)
     hyper_wps = _throughput(
         lambda: sc.score_anomalies_hyperbolic(inf, "uncertainty", mesh=mesh),
-        len(data.X))
+        len(data.X), spread_key="hyper_scoring_wps")
 
     # ---- end-to-end detection throughput: ONE program (forward + full
     # scoring), scores-only so the inference-tensor transfer is DCE'd —
@@ -244,8 +285,10 @@ def main():
                                 multivariate=multivariate)[0]
 
     X_dev = jax.device_put(jnp.asarray(data.X, jnp.float32), dev0)
-    detect_e2e_wps = _throughput(lambda: detect(X_dev), len(data.X))
-    detect_upload_wps = _throughput(lambda: detect(data.X), len(data.X))
+    detect_e2e_wps = _throughput(lambda: detect(X_dev), len(data.X),
+                                 spread_key="detect_e2e_wps")
+    detect_upload_wps = _throughput(lambda: detect(data.X), len(data.X),
+                                    spread_key="detect_e2e_upload_wps")
 
     # ---- grid detection: the full euclidean (rec_error x combination)
     # grid — 3 x 4 = 12 cells, the reference's README-documented detection
@@ -262,18 +305,27 @@ def main():
                                   rec_errors=("point", "area", "dtw"),
                                   mesh=mesh)
 
-    grid()  # warm (compile + remote fingerprint)
-    t0 = time.time()
-    out = grid()  # device_get inside forces completion of every cell
-    grid12_s = time.time() - t0
-    assert len(out) == 12
-    del out
+    # device_get inside the grid call forces completion of every cell
+    grid12_s, SPREAD["grid12_detect_s"] = _rep_times(grid, lambda o: None)
+    assert len(grid()) == 12
 
     # the 20k-window regime (PARITY.md warm-path anatomy row), wired path
     rng = np.random.default_rng(3)
     X20 = jax.device_put(jnp.asarray(
         rng.uniform(-1, 1, (20_000, 100)).astype(np.float32)), dev0)
-    detect_20k_wps = _throughput(lambda: detect(X20), len(X20))
+    detect_20k_wps = _throughput(lambda: detect(X20), len(X20),
+                                 spread_key="detect_20k_wps")
+
+    # euclidean-DTW end-to-end detection at the same 20k-window regime —
+    # the anti-diagonal DTW (ops/dtw.py, round 4) moved the dtw column from
+    # ~19x slower than point to pipeline parity; the small-N
+    # eucl_dtw_scoring_wps metric below is tunnel-floor-bound (~24 ms
+    # round-trip at n=1320) and can't show it
+    eucl_dtw_detect_20k_wps = _throughput(
+        lambda: sc.detect_scores(eucl_state.params, X20, False, "mult",
+                                 rec_error="dtw", mesh=mesh,
+                                 fetch_inference=False)[0],
+        len(X20), spread_key="eucl_dtw_detect_20k_wps")
 
     # ---- fleet detection: 9 signals' forward + FULL scoring in ONE
     # vmapped program (detect/scorer.detect_scores_fleet — the `sweep`
@@ -288,7 +340,8 @@ def main():
     n_fleet_win = sum(len(x) for x in fleet_X)
     fleet_detect_wps = _throughput(
         lambda: sc.detect_scores_fleet(fd_params, fleet_X, True,
-                                       "uncertainty")[-1], n_fleet_win)
+                                       "uncertainty")[-1], n_fleet_win,
+        spread_key="fleet9_detect_wps")
     # staged variant: the `sweep` path for unique-dataset families — the
     # trainer's device-resident padded stack is reused, no per-call
     # pad+upload (train_fleet return_staged= -> detect_scores_fleet staged=)
@@ -297,7 +350,8 @@ def main():
     fleet_detect_staged_wps = _throughput(
         lambda: sc.detect_scores_fleet(fd_params, fleet_X, True,
                                        "uncertainty",
-                                       staged=fleet_staged)[-1], n_fleet_win)
+                                       staged=fleet_staged)[-1], n_fleet_win,
+        spread_key="fleet9_detect_staged_wps")
 
     # fleet x grid: 9 signals x 12 euclidean cells (108 detection cells) in
     # ONE vmapped program on the staged stack — the `sweep --rec-errors ...
@@ -316,10 +370,9 @@ def main():
             eg_params, fleet_X, False, EUCL_COMBOS,
             rec_errors=("point", "area", "dtw"), staged=fleet_staged)
 
-    fleet_grid()  # warm
-    t0 = time.time()
+    fleet_grid108_s, SPREAD["fleet9_grid108_detect_s"] = _rep_times(
+        fleet_grid, lambda o: None)
     out = fleet_grid()
-    fleet_grid108_s = time.time() - t0
     assert len(out) == 9 and len(out[0]) == 12
     del out, eg_params
 
@@ -337,14 +390,15 @@ def main():
         lambda: sc.detect_scores_fleet(fd81_params, fleet81_X, True,
                                        "uncertainty",
                                        staged=fleet81_staged)[-1],
-        sum(len(x) for x in fleet81_X))
+        sum(len(x) for x in fleet81_X),
+        spread_key="fleet81_detect_staged_wps")
     del fleet81_staged, fd81_params
 
     # ---- SMAP A-1 hyperbolic epoch (separate train split, 2780 windows —
     # the second PARITY headline; driver-reproducible per VERDICT r2 item 4)
     smap_csv = os.path.join(data_root, "A-1-train.csv")
     _, _, smap_epoch_s = _train_bench(True, smap_csv, False, 21600, mesh,
-                                      batch)
+                                      batch, spread_key="smap_epoch_s")
 
     # ---- multivariate one-call detection throughput (SWAT-shaped 50k x 51,
     # hyperbolic mult, scores-only): the PARITY.md 150.5k rows/s row, plus
@@ -358,17 +412,19 @@ def main():
                                 hyperbolic=True)
     mv_params = jax.device_put(mv_params, dev0)
     mv_rows_per_s = _throughput(
-        lambda: detect(mv_X, multivariate=True, p=mv_params), len(mv_X))
+        lambda: detect(mv_X, multivariate=True, p=mv_params), len(mv_X),
+        spread_key="mv_one_call_rows_per_s")
     mv_X_dev = jax.device_put(jnp.asarray(mv_X), dev0)
     mv_resident_rows_per_s = _throughput(
-        lambda: detect(mv_X_dev, multivariate=True, p=mv_params), len(mv_X))
+        lambda: detect(mv_X_dev, multivariate=True, p=mv_params), len(mv_X),
+        spread_key="mv_one_call_resident_rows_per_s")
 
     # ---- scoring throughput, euclidean-DTW pipeline
     eucl_wps = _throughput(
         lambda: sc.score_anomalies_euclidean(
             data.X, inf.eucl_recons, inf.critic_score, "dtw", "mult",
             mesh=mesh),
-        len(data.X))
+        len(data.X), spread_key="eucl_dtw_scoring_wps")
 
     # ---- on-chip Pallas validation
     pallas_ok, kde_flips, ml_maxdiff = _pallas_onchip_check(data, state)
@@ -417,6 +473,7 @@ def main():
                                             2),
             "detect_e2e_upload_wps": round(detect_upload_wps),
             "detect_20k_wps": round(detect_20k_wps),
+            "eucl_dtw_detect_20k_wps": round(eucl_dtw_detect_20k_wps),
             "grid12_detect_s": round(grid12_s, 4),
             "grid12_cells_per_s": round(12 / grid12_s, 2),
             "fleet9_detect_wps": round(fleet_detect_wps),
@@ -438,6 +495,11 @@ def main():
             "pallas_ok": pallas_ok,
             "pallas_kde_tie_flips": kde_flips,
             "pallas_mobius_maxdiff": ml_maxdiff,
+            # relative (max-min)/min over the N_TIMED_REPS repetitions of
+            # each timed metric; consecutive bench runs should agree within
+            # these bands (metrics not listed are derived ratios)
+            "timing_reps": N_TIMED_REPS,
+            "spread": dict(sorted(SPREAD.items())),
         },
     }))
 
