@@ -157,7 +157,8 @@ def _run_detection(params, model_params, test_data, path, read_path,
 
 
 def cmd_sweep(params, config_path, signals=None, seeds=None,
-              detect_only=False, rec_errors=None, combinations=None):
+              detect_only=False, rec_errors=None, combinations=None,
+              canonical=False):
     """Train + detect a whole signal family in ONE fused fleet program.
 
     Capability extension over the reference (which re-runs ``train.py`` per
@@ -201,6 +202,14 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
     protocol behind PARITY.md's A3/A4 tables: 8 signals x 3 seeds = 24
     models, one program). A --seeds flag with only a config ``signals:``
     list is a band of the config's signal (the list is ignored).
+
+    ``canonical=True`` (CLI ``--canonical``) trains the fleet at canonical
+    bucket shapes (train/fleet.py ``canonical``) so back-to-back family
+    sweeps reuse each other's compiled training programs via the remote
+    fingerprint cache; it forces the ragged RNG stream (per-signal results
+    are distribution-equivalent, not bitwise, to non-canonical runs — do
+    not combine with seed-band bitwise protocols). Fleet DETECTION always
+    runs at canonical shapes (value-equivalent; scorer default).
 
     Returns one ``(signal, seed, f1)`` tuple per trained pair in pair
     order (grid mode: ``(signal, seed, {(rec_error, comb): result})``);
@@ -342,7 +351,7 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
                 seed=params.seed, mesh=mesh, log_cb=log_cb,
                 checkpoint_cb=ckpt_cb, return_staged=True,
                 seeds=([sd for (_, sd) in pairs] if seeds is not None
-                       else None))
+                       else None), canonical=canonical)
         wall = time.time() - t0
         print(f"sweep training wall-clock: {wall:.2f}s for {len(per)} "
               f"models x {params.epochs} epochs "
@@ -542,6 +551,11 @@ def main(argv=None):
                         help="comma-separated combination list for "
                              "`detect`/`sweep` grid detection ('all' = "
                              "every mode valid for the config's path)")
+    parser.add_argument("--canonical", action="store_true",
+                        help="`sweep`: train at canonical bucket shapes so "
+                             "back-to-back family sweeps reuse compiled "
+                             "programs (ragged RNG stream; distribution-"
+                             "equivalent, not bitwise, per-signal results)")
     args = parser.parse_args(argv)
 
     from hypad_tpu.utils.config import load_config
@@ -561,7 +575,8 @@ def main(argv=None):
                            else None),
                   seeds=(args.seeds.split(",") if args.seeds else None),
                   detect_only=args.detect_only,
-                  rec_errors=recs, combinations=combos)
+                  rec_errors=recs, combinations=combos,
+                  canonical=args.canonical)
     else:
         cmd_detect(params, args.config, rec_errors=recs,
                    combinations=combos)

@@ -723,6 +723,83 @@ def _fleet_chunk_plan(S, n_pad, width):
     return starts, S_c
 
 
+# Canonical fleet program shapes: every fleet/grid detection call pads its
+# (S, N, W) stack up to a small set of compiled shapes so different families
+# REUSE each other's programs. On the tunneled backend a novel shape costs
+# 40-200 s of remote compile (CLAUDE.md) while the padded rows cost
+# microseconds of vmapped compute — round-3's Yahoo grid study paid 51.5 s
+# for A1's novel S=67 shape while A4 reused A3's S=100 shape and ran in
+# 14.2 s. The window axis rounds up to a ~1.33-1.5x rung ladder (<=50%
+# compute waste); the signal axis rounds up to the next power of two, capped
+# at the HBM chunk size (which is itself a single canonical shape per N
+# rung, so over-chunk-size fleets need no padding at all). Padding is
+# REPLICAS of the last signal — full valid lanes, no NaN-producing empty
+# reductions — whose output rows are simply discarded.
+FLEET_N_RUNGS = tuple(
+    b * 2 ** k for k in range(10) for b in (128, 192) if b * 2 ** k <= 131072
+)
+
+
+def _next_rung(n):
+    for r in sorted(FLEET_N_RUNGS):
+        if r >= n:
+            return r
+    return n  # beyond the ladder: exact shape (huge signals are rare)
+
+
+def canonical_fleet_shape(S, n_pad, width):
+    """The canonical compiled shape (S_c, N_c) covering an (S, n_pad, width)
+    fleet stack. ``S_c < S`` means no signal padding: the HBM chunk plan
+    (`_fleet_chunk_plan`) will carve the fleet into fixed ``S_c``-sized
+    chunks that are already one canonical shape."""
+    N_c = _next_rung(n_pad)
+    per_signal = (N_c + width - 1) * width * width
+    S_chunk = max(int(FLEET_MAX_PAIR_ELEMS // max(per_signal, 1)), 1)
+    S_c = 4  # floor: tiny fleets (1-4 signals, seed bands) share one shape
+    while S_c < S:
+        S_c *= 2
+    return min(S_c, S_chunk), N_c
+
+
+def _pad_axis_with_zeros(x, axis, target):
+    pad = target - x.shape[axis]
+    if pad <= 0:
+        return x
+    xp = jnp if isinstance(x, jax.Array) else np
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return xp.pad(x, widths)
+
+
+def _pad_leading_with_replicas(x, target):
+    pad = target - x.shape[0]
+    if pad <= 0:
+        return x
+    xp = jnp if isinstance(x, jax.Array) else np
+    rep = xp.broadcast_to(x[-1:], (pad,) + x.shape[1:])
+    return xp.concatenate([x, rep])
+
+
+def _fleet_canonical_pad(stacked_params, Xs, n_real, smooth):
+    """Pad a staged fleet stack to its canonical compiled shape
+    (`canonical_fleet_shape`): zeros on the window axis (value-invariant —
+    every reduction is masked to the traced ``n_real`` prefix), replicas of
+    the last signal on the signal axis (output rows past the real S are the
+    caller's to discard). Device-resident leaves are padded on device (no
+    host round-trip)."""
+    S, n_pad, width = Xs.shape
+    S_c, N_c = canonical_fleet_shape(S, n_pad, width)
+    if N_c > n_pad:
+        Xs = _pad_axis_with_zeros(Xs, 1, N_c)
+    if S_c > S:
+        Xs = _pad_leading_with_replicas(Xs, S_c)
+        stacked_params = jax.tree_util.tree_map(
+            lambda x: _pad_leading_with_replicas(x, S_c), stacked_params)
+        n_real = _pad_leading_with_replicas(np.asarray(n_real), S_c)
+        smooth = _pad_leading_with_replicas(np.asarray(smooth), S_c)
+    return stacked_params, Xs, n_real, smooth
+
+
 def _fleet_stage(X_list, staged):
     """Shared fleet staging: validate/slice a device-resident padded stack
     (``staged``: train_fleet ``return_staged=True``) or host pad+stack, plus
@@ -769,7 +846,8 @@ def _detect_fleet_device(stacked_params, Xs, n_real, smooth_window,
 
 
 def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
-                        rec_error="point", mesh=None, staged=None):
+                        rec_error="point", mesh=None, staged=None,
+                        canonical=True):
     """Whole-family detection — S signals' forward passes AND full scoring
     pipelines in ONE vmapped, jit-compiled program.
 
@@ -803,10 +881,24 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     chunks through the SAME compiled program — per-signal results are
     independent, so chunk boundaries cannot change them.
 
+    ``canonical`` (default True) pads the stack to a canonical compiled
+    shape (`canonical_fleet_shape`) so different families share programs —
+    per-signal scores are value-equivalent (pad windows are masked out of
+    every reduction, pad signals are discarded replicas); they are NOT
+    bitwise-reproduced because the padded GEMM/reduction shapes tile
+    differently (measured <=7e-5 on the euclidean scores, <=8e-9
+    hyperbolic — the same class of noise as the fleet-vs-sequential
+    tolerance already documented in PARITY.md; asserted at the anchor
+    tolerance in tests/test_fleet_canonical.py).
+
     Returns a list of S per-signal score vectors, each sliced to its true
     length (N_i hyperbolic, N_i + W - 1 euclidean).
     """
+    S_real = len(X_list)
     Xs, n_real, smooth = _fleet_stage(X_list, staged)
+    if canonical:
+        stacked_params, Xs, n_real, smooth = _fleet_canonical_pad(
+            stacked_params, Xs, n_real, smooth)
     width = Xs.shape[2]
 
     # always the jnp/XLA KDE backend here: it is the measured-fastest and
@@ -818,7 +910,8 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
             combination, rec_error, width, False, mesh=mesh)
 
     out = _fleet_chunked(run, stacked_params, Xs, n_real, smooth)
-    lens = [int(n) if hyperbolic else int(n) + width - 1 for n in n_real]
+    lens = [int(n) if hyperbolic else int(n) + width - 1
+            for n in n_real[:S_real]]
     return [out[i, :L] for i, L in enumerate(lens)]
 
 
@@ -1047,7 +1140,7 @@ def _detect_fleet_grid_device(stacked_params, Xs, n_real, smooth_window,
 
 def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
                              combinations, rec_errors=("point",), mesh=None,
-                             staged=None):
+                             staged=None, canonical=True):
     """A whole signal family x the whole (rec_error x combination) grid in
     ONE vmapped program — the composition of ``detect_scores_fleet`` (S
     signals' forwards + ragged scoring vmapped over a padded stack) and
@@ -1060,14 +1153,19 @@ def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
     best across these signals?" — is one compile and one transfer.
 
     Univariate only (like ``detect_scores_fleet``); ``staged`` as there;
-    HBM-bounded signal chunking as there (``FLEET_MAX_PAIR_ELEMS``).
+    HBM-bounded signal chunking as there (``FLEET_MAX_PAIR_ELEMS``);
+    ``canonical`` shape-bucket padding as there.
     Returns a list of S dicts ``{(rec_error|None, combination): scores}``,
     each cell identical to the per-signal ``detect_scores_grid`` output
     (tests/test_grid.py::test_fleet_grid_*).
     """
     combinations, rec_errors = _validate_grid(hyperbolic, combinations,
                                               rec_errors)
+    S_real = len(X_list)
     Xs, n_real, smooth = _fleet_stage(X_list, staged)
+    if canonical:
+        stacked_params, Xs, n_real, smooth = _fleet_canonical_pad(
+            stacked_params, Xs, n_real, smooth)
     width = Xs.shape[2]
 
     # jnp/XLA KDE backend, as in detect_scores_fleet (Mosaic is 2-D-only)
@@ -1077,7 +1175,8 @@ def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
             combinations, rec_errors, width, False, mesh=mesh)
 
     out = _fleet_chunked(run, stacked_params, Xs, n_real, smooth)
-    lens = [int(n) if hyperbolic else int(n) + width - 1 for n in n_real]
+    lens = [int(n) if hyperbolic else int(n) + width - 1
+            for n in n_real[:S_real]]
     per_signal = []
     for i, L in enumerate(lens):
         if hyperbolic:

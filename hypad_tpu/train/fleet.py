@@ -68,11 +68,15 @@ def init_fleet_state(params_list, lr, hyperbolic):
                          for p in params_list])
 
 
-def pad_and_stack(X_list, pad_value=0.0):
-    """Zero-pad (N_i, W) window arrays to max N and stack -> ((S, N, W),
-    n_real (S,) int32). Pad contents are never read by a valid step (the
-    masked shuffle keeps pad rows out of real batch positions)."""
+def pad_and_stack(X_list, pad_value=0.0, target_len=None):
+    """Zero-pad (N_i, W) window arrays to max N (or ``target_len``, the
+    canonical-shape path) and stack -> ((S, N, W), n_real (S,) int32). Pad
+    contents are never read by a valid step (the masked shuffle keeps pad
+    rows out of real batch positions)."""
     n_max = max(x.shape[0] for x in X_list)
+    if target_len is not None:
+        assert target_len >= n_max
+        n_max = target_len
     w = X_list[0].shape[1]
     out = np.full((len(X_list), n_max, w), pad_value, np.float32)
     n_real = np.zeros((len(X_list),), np.int32)
@@ -203,7 +207,7 @@ def _single_epoch_sliced(fn, args):
 def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
                 seed=0, mesh=None, checkpoint_cb=None, log_cb=None,
                 start_epoch=0, epochs_per_call=10, ragged=None,
-                return_staged=False, seeds=None):
+                return_staged=False, seeds=None, canonical=False):
     """Train S signals' models jointly in fused fleet programs.
 
     ``states``: stacked TrainState (leading axis S, see ``stack_states``).
@@ -245,13 +249,38 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
     call at S=81 x 1320 x 100; detect/scorer.detect_scores_fleet
     ``staged=``). ``Xs`` may carry mesh-pad dummy rows past the first
     ``len(X_list)`` signals; ``n_real`` covers the real signals only.
+
+    ``canonical``: pad the window axis to the detection-side rung ladder
+    (detect/scorer.FLEET_N_RUNGS) and the signal axis to the next power of
+    two (floor 4; mesh-divisible) with masked dummy signals, so different
+    families compile to the SAME program shapes — in-process jit reuse
+    aside, the remote backend's fingerprint cache then serves family B's
+    training programs from family A's compiles even across processes
+    (measured 9.5 s vs 91 s cold, CLAUDE.md). Forces the ragged stream:
+    per-signal trajectories are distributionally identical but NOT bitwise
+    equal to unpadded runs (the masked shuffle draws over the padded row
+    count), so the seed-band bitwise claim does not compose with it. The
+    ``return_staged`` stack comes back already canonical, making
+    detection's own canonical pad a no-op.
     """
     lens = {x.shape[0] for x in X_list}
     S = len(X_list)
     n_pad = 0
+    ndev = int(mesh.devices.size) if mesh is not None else 1
     if mesh is not None:
-        ndev = int(mesh.devices.size)
         n_pad = (-S) % ndev
+    target_len = None
+    if canonical:
+        from hypad_tpu.detect.scorer import _next_rung
+
+        if ragged is False:
+            raise ValueError("canonical shapes require the ragged stream")
+        ragged = True
+        target_len = _next_rung(max(x.shape[0] for x in X_list))
+        target_S = 4
+        while target_S < S or target_S % ndev:
+            target_S *= 2
+        n_pad = target_S - S
     if seeds is not None and len(lens) == 1 and n_pad and ragged is not True:
         # equal-length seed band on a mesh: replicate the last signal
         # instead of dummy-padding — dummies force ragged mode, whose
@@ -273,7 +302,8 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
 
     if ragged:
         Xs, n_real = pad_and_stack(list(X_list) + [
-            np.zeros((1, X_list[0].shape[1]), np.float32)] * n_pad)
+            np.zeros((1, X_list[0].shape[1]), np.float32)] * n_pad,
+            target_len=target_len)
         n_real[S:] = 0  # mesh-pad dummies never take a step
         if n_pad:
             states = stack_states(

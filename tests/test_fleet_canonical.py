@@ -1,0 +1,216 @@
+"""Canonical fleet program shapes (detect/scorer.canonical_fleet_shape).
+
+Every fleet / fleet-grid detection call pads its (S, N, W) stack to a small
+set of compiled shapes so different families REUSE each other's XLA
+programs — on the tunneled TPU backend a novel shape costs 40-200 s of
+remote compile while the pad rows cost microseconds of vmapped compute
+(round-3 measurement: A1's novel S=67 grid shape cost 51.5 s while A4
+reused A3's S=100 shape and ran in 14.2 s). No reference equivalent (the
+reference re-runs anomaly_detection.py per signal, one process per shape).
+
+Assertions:
+  * canonical=True scores match canonical=False at the fleet anchor
+    tolerance (bit-identity is impossible: padded GEMM/reduce shapes tile
+    differently — the PARITY.md fleet-vs-sequential noise class);
+  * two families with different (S, N) inside one bucket hit the SAME
+    compiled program (jit cache size does not grow on the second family);
+  * the shape bucket math (rung ladder, pow2 signals, HBM chunk cap).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from hypad_tpu.detect import scorer as sc
+from hypad_tpu.models.tadgan import init_tadgan
+from hypad_tpu.train import fleet as fl
+
+W = 100
+
+
+def _toy_windows(n, seed):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 20 * np.pi, n + W)
+    s = np.sin(t) + 0.05 * rng.standard_normal(n + W)
+    X = np.stack([s[i:i + W] for i in range(n)]).astype(np.float32)
+    return np.clip(X, -1, 1)
+
+
+def _family(lens, hyperbolic, seed0=7):
+    params = [init_tadgan(jax.random.PRNGKey(seed0 + i), signal_shape=W,
+                          hyperbolic=hyperbolic) for i in range(len(lens))]
+    X_list = [_toy_windows(n, seed=seed0 + 10 + i)
+              for i, n in enumerate(lens)]
+    return fl.stack_states(params), X_list
+
+
+def test_canonical_fleet_shape_buckets():
+    # window axis rounds up the 128/192 rung ladder
+    assert sc.canonical_fleet_shape(3, 210, W) == (4, 256)
+    assert sc.canonical_fleet_shape(3, 256, W) == (4, 256)
+    assert sc.canonical_fleet_shape(3, 257, W) == (4, 384)
+    assert sc.canonical_fleet_shape(1, 100, W)[1] == 128
+    # signal axis rounds up to the next power of two (floor 4)
+    assert sc.canonical_fleet_shape(1, 210, W)[0] == 4
+    assert sc.canonical_fleet_shape(9, 1320, W)[0] == 16
+    # past the HBM chunk cap the canonical S is the chunk size itself, so
+    # A1 (S=67, padded) and A3/A4 (S=100, chunked) share one program shape
+    s67, n67 = sc.canonical_fleet_shape(67, 1320, W)
+    s100, n100 = sc.canonical_fleet_shape(100, 1320, W)
+    assert (s67, n67) == (s100, n100)
+    per_signal = (n67 + W - 1) * W * W
+    assert s67 == sc.FLEET_MAX_PAIR_ELEMS // per_signal
+    # beyond the ladder: exact window shape (no rung)
+    big = max(sc.FLEET_N_RUNGS)
+    assert sc.canonical_fleet_shape(1, big + 1, W)[1] == big + 1
+
+
+def test_canonical_shape_capped_by_chunk_plan(monkeypatch):
+    # with a 2-signal HBM budget the canonical S is the chunk size, and
+    # over-budget fleets take no signal padding (the chunk plan carves them
+    # into fixed-size chunks that are already one canonical shape)
+    monkeypatch.setattr(sc, "FLEET_MAX_PAIR_ELEMS",
+                        2 * (256 + W - 1) * W * W)
+    assert sc.canonical_fleet_shape(1, 210, W) == (2, 256)
+    assert sc.canonical_fleet_shape(2, 210, W) == (2, 256)
+    assert sc.canonical_fleet_shape(3, 210, W) == (2, 256)
+    starts, S_c = sc._fleet_chunk_plan(3, 256, W)
+    assert S_c == 2 and starts == [0, 1]
+
+
+@pytest.mark.parametrize("hyperbolic,combination", [
+    (False, "mult"), (True, "uncertainty"),
+])
+def test_canonical_matches_uncanonical(hyperbolic, combination):
+    stacked, X_list = _family((210, 150, 90), hyperbolic)
+    want = sc.detect_scores_fleet(stacked, X_list, hyperbolic, combination,
+                                  canonical=False)
+    got = sc.detect_scores_fleet(stacked, X_list, hyperbolic, combination,
+                                 canonical=True)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        np.testing.assert_allclose(g, w, rtol=3e-4, atol=1e-5)
+
+
+def test_canonical_grid_matches_uncanonical():
+    stacked, X_list = _family((210, 150, 90), False)
+    kw = dict(combinations=("mult", "rec"), rec_errors=("point", "dtw"))
+    want = sc.detect_scores_fleet_grid(stacked, X_list, False,
+                                       canonical=False, **kw)
+    got = sc.detect_scores_fleet_grid(stacked, X_list, False,
+                                      canonical=True, **kw)
+    for gcells, wcells in zip(got, want):
+        assert gcells.keys() == wcells.keys()
+        for k in wcells:
+            np.testing.assert_allclose(gcells[k], wcells[k],
+                                       rtol=3e-4, atol=1e-5)
+
+
+def test_canonical_staged_device_stack():
+    """A device-resident staged stack is padded ON DEVICE to the canonical
+    shape and scores match the host-list path."""
+    import jax.numpy as jnp
+
+    stacked, X_list = _family((210, 150, 90), False)
+    want = sc.detect_scores_fleet(stacked, X_list, False, "mult")
+    n_max = max(len(x) for x in X_list)
+    Xs = np.zeros((len(X_list), n_max, W), np.float32)
+    for i, x in enumerate(X_list):
+        Xs[i, : len(x)] = x
+    staged = (jnp.asarray(Xs),
+              np.asarray([len(x) for x in X_list], np.int32))
+    got = sc.detect_scores_fleet(stacked, X_list, False, "mult",
+                                 staged=staged)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=3e-4, atol=1e-5)
+
+
+def test_canonical_training_matches_unvmapped_body():
+    """train_fleet(canonical=True) pads to (S=4, N=128) here and must equal
+    the un-vmapped ragged epoch body run per signal on the SAME padded
+    shape with the same key schedule — i.e. canonical mode is exactly
+    'ragged mode at the bucket shape', bitwise."""
+    import jax.numpy as jnp
+
+    from hypad_tpu.train import trainer as tr
+
+    def params():
+        return [init_tadgan(jax.random.PRNGKey(i), signal_shape=W,
+                            hyperbolic=False) for i in range(2)]
+
+    X_list = [_toy_windows(96, seed=0), _toy_windows(64, seed=1)]
+    fstate = fl.init_fleet_state(params(), lr=5e-4, hyperbolic=False)
+    fstate, (Xs, lens) = fl.train_fleet(
+        fstate, X_list, lr=5e-4, hyperbolic=False, batch_size=32,
+        n_epochs=3, seed=0, canonical=True, return_staged=True)
+    assert Xs.shape == (4, 128, W)          # canonical bucket, not (2, 96+)
+    assert list(lens) == [96, 64]
+
+    body = jax.jit(tr._make_epoch_body(5e-4, False, 32,
+                                       constrain=lambda b: b, ragged=True))
+    Xpad, n_real = fl.pad_and_stack(X_list, target_len=128)
+    base = jax.random.PRNGKey(0)
+    for i, p in enumerate(params()):
+        st = tr.init_train_state(p, lr=5e-4, hyperbolic=False)
+        for k in jax.random.split(jax.random.fold_in(base, 0), 2):
+            st, _ = body(st, jnp.asarray(Xpad[i]), k, jnp.int32(n_real[i]))
+        st, _ = body(st, jnp.asarray(Xpad[i]), jax.random.fold_in(base, 2),
+                     jnp.int32(n_real[i]))
+        for a, b in zip(jax.tree_util.tree_leaves(st.params),
+                        jax.tree_util.tree_leaves(
+                            fl.unstack_state(fstate, i).params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_canonical_training_rejects_forced_nonragged():
+    X_list = [_toy_windows(96, seed=0)]
+    fstate = fl.init_fleet_state(
+        [init_tadgan(jax.random.PRNGKey(0), signal_shape=W,
+                     hyperbolic=False)], lr=5e-4, hyperbolic=False)
+    with pytest.raises(ValueError, match="ragged"):
+        fl.train_fleet(fstate, X_list, lr=5e-4, hyperbolic=False,
+                       batch_size=32, n_epochs=1, canonical=True,
+                       ragged=False)
+
+
+def test_canonical_staged_feeds_canonical_detection():
+    """The canonical training stack is already at the detection bucket, so
+    detection's own canonical pad is a no-op on it (shape check) and the
+    staged scores match the unstaged fleet scores."""
+    X_list = [_toy_windows(96, seed=0), _toy_windows(64, seed=1)]
+    fstate = fl.init_fleet_state(
+        [init_tadgan(jax.random.PRNGKey(i), signal_shape=W,
+                     hyperbolic=False) for i in range(2)],
+        lr=5e-4, hyperbolic=False)
+    fstate, staged = fl.train_fleet(
+        fstate, X_list, lr=5e-4, hyperbolic=False, batch_size=32,
+        n_epochs=1, seed=0, canonical=True, return_staged=True)
+    params2 = jax.tree_util.tree_map(lambda x: x[:2], fstate.params)
+    want = sc.detect_scores_fleet(params2, X_list, False, "mult")
+    got = sc.detect_scores_fleet(params2, X_list, False, "mult",
+                                 staged=staged)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=3e-4, atol=1e-5)
+
+
+def test_two_families_share_one_compiled_program():
+    """The whole point: family B (different S, different N, same bucket)
+    pays ZERO novel fleet-program compiles after family A ran."""
+    stacked_a, X_a = _family((210, 150, 90), True, seed0=3)
+    sc.detect_scores_fleet(stacked_a, X_a, True, "uncertainty")
+    size_after_a = sc._detect_fleet_device._cache_size()
+
+    stacked_b, X_b = _family((240, 230), True, seed0=40)
+    assert (sc.canonical_fleet_shape(2, 240, W)
+            == sc.canonical_fleet_shape(3, 210, W))
+    out = sc.detect_scores_fleet(stacked_b, X_b, True, "uncertainty")
+    assert sc._detect_fleet_device._cache_size() == size_after_a
+    assert [len(o) for o in out] == [240, 230]
+
+    # ... and the grid program likewise
+    kw = dict(combinations=("uncertainty", "rec"))
+    sc.detect_scores_fleet_grid(stacked_a, X_a, True, **kw)
+    size_after_a = sc._detect_fleet_grid_device._cache_size()
+    sc.detect_scores_fleet_grid(stacked_b, X_b, True, **kw)
+    assert sc._detect_fleet_grid_device._cache_size() == size_after_a

@@ -95,10 +95,58 @@ def measure(S):
     return epoch_s, det_s, det_staged_s, n_win
 
 
+def compile_probe():
+    """Canonical-shape probe (VERDICT r3 item 2): run two DIFFERENT
+    families (S and N both differ, same canonical bucket) back-to-back and
+    assert the second pays ZERO novel fleet-detection compiles. On the
+    tunneled TPU this is the difference between 40-200 s of remote compile
+    per family and a cache hit; also prints wall-clocks so the reuse is
+    visible in the timings."""
+    import jax
+    import numpy as np
+
+    from hypad_tpu.detect import scorer as sc
+    from hypad_tpu.models.tadgan import init_tadgan
+    from hypad_tpu.train import fleet as fl
+
+    rng = np.random.default_rng(0)
+
+    def family(S, lens_base, seed0):
+        params = fl.stack_states(
+            [init_tadgan(jax.random.PRNGKey(seed0 + i), signal_shape=WIDTH,
+                         hyperbolic=True) for i in range(S)])
+        X_list = [rng.uniform(-1, 1, (lens_base - (i % 3), WIDTH))
+                  .astype(np.float32) for i in range(S)]
+        return params, X_list
+
+    shapes = [(9, 1300, 0), (12, 1450, 100)]   # both -> bucket (16, 1536)
+    assert (sc.canonical_fleet_shape(9, 1300, WIDTH)
+            == sc.canonical_fleet_shape(12, 1450, WIDTH))
+    for i, (S, lens_base, seed0) in enumerate(shapes):
+        params, X_list = family(S, lens_base, seed0)
+        before = sc._detect_fleet_device._cache_size()
+        t0 = time.time()
+        out = sc.detect_scores_fleet(params, X_list, True, "uncertainty")
+        float(out[-1][-1])
+        wall = time.time() - t0
+        new = sc._detect_fleet_device._cache_size() - before
+        print(f"family {i}: S={S} lens~{lens_base} -> {wall:.2f}s, "
+              f"{new} novel compile(s)", flush=True)
+        if i > 0:
+            assert new == 0, "second family was NOT served canonically"
+    print("compile probe OK: second family paid zero novel compiles")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1,3,9,27,81")
+    ap.add_argument("--compile-probe", action="store_true",
+                    help="canonical-shape reuse probe instead of the "
+                         "scaling sweep")
     args = ap.parse_args()
+    if args.compile_probe:
+        compile_probe()
+        return
     sizes = [int(s) for s in args.sizes.split(",")]
 
     import jax
