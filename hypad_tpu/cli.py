@@ -243,14 +243,13 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
                              "--signals a,b,c, or --seeds 0,1,2")
         pairs = [(sig, None) for sig in signals]
 
-    # fleet detection is univariate-only — reject multivariate configs
-    # BEFORE hours of training, not in the detection epilogue
+    # multivariate family sweeps (e.g. every CASAS resident) run the same
+    # one-program fleet paths with the mv scoring tail (detector dispatch
+    # semantics: signal == 'multivariate' or an mv dataset family)
     from hypad_tpu.data.registry import MULTIVARIATE_DATASETS
 
-    if (params.signal == "multivariate"
-            or params.dataset in MULTIVARIATE_DATASETS):
-        raise SystemExit("sweep is univariate-only (fleet detection); run "
-                         "multivariate configs through `train`/`detect`")
+    is_mv = (params.signal == "multivariate"
+             or params.dataset in MULTIVARIATE_DATASETS)
     if getattr(params, "save_artifacts", True) and not params.load:
         print("sweep detection is scores-only: inference artifacts are NOT "
               "persisted (save_artifacts ignored; use per-signal `detect` "
@@ -280,6 +279,18 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
         per.append((p, train_data, test_data, read_path, path))
 
     mesh = make_mesh(params.devices)
+
+    def put(tree):
+        """Replicated placement on the mesh (the fleet programs reshard the
+        signal axis internally); committing to a single device instead
+        conflicts with the in-program mesh constraints."""
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(tree, NamedSharding(mesh,
+                                                      PartitionSpec()))
+        return jax.device_put(tree, jax.devices()[0])
+
     grid_mode = bool(rec_errors or combinations)
     grid_combos = combinations or [params.combination]
     grid_recs = rec_errors or [params.rec_error]
@@ -310,13 +321,13 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
                 lambda *xs: np.stack([np.asarray(x) for x in xs]),
                 *[ck.restore_state(path, ckpt_tag).params
                   for (_, _, _, _, path) in per])
-            stacked_params = jax.device_put(host_params, jax.devices()[0])
+            stacked_params = put(host_params)
     else:
         with jax.default_device(jax.devices("cpu")[0]):
             fstate = fl.init_fleet_state(
                 [_init_models(p) for (p, *_) in per],
                 lr=params.lr, hyperbolic=params.hyperbolic)
-        fstate = jax.device_put(fstate, jax.devices()[0])
+        fstate = put(fstate)
 
         X_list = [np.asarray(td.X, np.float32) for (_, td, *_) in per]
 
@@ -391,7 +402,7 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
             fleet_grid = detect_scores_fleet_grid(
                 stacked_params, [td.X for (_, _, td, *_) in per],
                 params.hyperbolic, grid_combos, rec_errors=grid_recs,
-                mesh=mesh, staged=reuse)
+                mesh=mesh, staged=reuse, multivariate=is_mv)
         dwall = time.time() - t0
         n_cells = len(fleet_grid[0])
         print(f"fleet grid detection wall-clock: {dwall:.2f}s for "
@@ -404,7 +415,8 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
             fleet_scores = detect_scores_fleet(
                 stacked_params, [td.X for (_, _, td, *_) in per],
                 params.hyperbolic, params.combination,
-                rec_error=params.rec_error, mesh=mesh, staged=reuse)
+                rec_error=params.rec_error, mesh=mesh, staged=reuse,
+                multivariate=is_mv)
         dwall = time.time() - t0
         n_win = sum(len(td.X) for (_, _, td, *_) in per)
         print(f"fleet detection wall-clock: {dwall:.2f}s for {len(per)} "

@@ -47,10 +47,11 @@ def detect(params, state_params, test_data, run_path, read_path="",
     key).
 
     ``precomputed_scores``: final per-signal scores computed elsewhere
-    (the fleet detector, scorer.detect_scores_fleet) — the device compute
-    is skipped entirely and only the host epilogue (intervals, metrics,
-    CSV, plots) runs. Univariate only; mutually exclusive with
-    ``params.load`` artifact reuse and artifact persistence."""
+    (the fleet detector, scorer.detect_scores_fleet — univariate or
+    multivariate) — the device compute is skipped entirely and only the
+    host epilogue (intervals, metrics, CSV, plots) runs. Mutually
+    exclusive with ``params.load`` artifact reuse and artifact
+    persistence."""
     os.makedirs(run_path, exist_ok=True)
 
     # multivariate dispatch: the reference keys on signal == 'multivariate'
@@ -78,11 +79,16 @@ def detect(params, state_params, test_data, run_path, read_path="",
     # device program (scorer.detect_scores), univariate and multivariate
     # alike. Cached re-runs use the staged functions on the stored tensors.
     if precomputed_scores is not None:
-        if is_mv:
-            raise ValueError("fleet scores are univariate-only")
         final_scores = np.asarray(precomputed_scores)
-        true_index = np.asarray(test_data.index)
-        intervals = _univariate_intervals(final_scores, true_index)
+        if is_mv:
+            # the fleet's multivariate slice: per-timestep scores, the
+            # reference mv interval parameters (see _MV_FA_KW)
+            true_index = np.arange(len(final_scores))
+            intervals = iv.find_anomalies(final_scores.reshape(-1),
+                                          true_index, **_MV_FA_KW)
+        else:
+            true_index = np.asarray(test_data.index)
+            intervals = _univariate_intervals(final_scores, true_index)
         return _host_epilogue(params, final_scores, intervals,
                               known_anomalies, run_path, save_plots, is_mv,
                               true_index)

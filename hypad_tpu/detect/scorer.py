@@ -531,19 +531,27 @@ def score_anomalies_hyperbolic(inference: InferenceOutput, combination,
 
 
 def _mv_scores_core(recons, true, critic, combination, hyperbolic, width,
-                    smooth_window, use_pallas, mesh=None):
+                    smooth_window, use_pallas, mesh=None, n_real=None):
     """Traced body of the multivariate scoring pipeline (shared by the
-    standalone fused jit and the one-call detector)."""
+    standalone fused jit, the one-call detector, and — with a traced
+    ``n_real``/``smooth_window`` — the padded multivariate fleet detector;
+    rows past ``n_real`` are pad garbage the host slices off)."""
     c = _row_constraint(mesh)
     if hyperbolic:
         raw = st.acosh_poincare_distance(c(recons), c(true))
     else:
         raw = jnp.linalg.norm(c(true) - c(recons), axis=1)
-    rec_scores = jnp.clip(zscore(raw), 0.0, None) + 1.0
+    if n_real is None:
+        z = zscore(raw)
+    else:
+        from hypad_tpu.ops.rolling import zscore_masked
+
+        z = zscore_masked(raw, jnp.arange(raw.shape[0]) < n_real)
+    rec_scores = jnp.clip(z, 0.0, None) + 1.0
     critic_scores = []
     if combination in CRITIC_COMBOS:
         critic_scores = _critic_scores_core(critic, width, smooth_window,
-                                            use_pallas, mesh)
+                                            use_pallas, mesh, n_real=n_real)
         critic_scores = critic_scores[: rec_scores.shape[0]]
     return _combine_device(combination, critic_scores, rec_scores, recons)
 
@@ -571,7 +579,7 @@ def _detect_core(params, X, hyperbolic, combination, rec_error, width,
         if multivariate:
             scores = _mv_scores_core(c(hyper), c(hyper_x), critic,
                                      combination, True, width, smooth_window,
-                                     use_pallas, mesh)
+                                     use_pallas, mesh, n_real=n_real)
         else:
             scores = _hyper_scores_core(c(hyper), c(hyper_x), critic,
                                         combination, width, smooth_window,
@@ -580,7 +588,8 @@ def _detect_core(params, X, hyperbolic, combination, rec_error, width,
     recon = decoder_apply(params["decoder"], z)
     if multivariate:
         scores = _mv_scores_core(c(recon), Xc, critic, combination, False,
-                                 width, smooth_window, use_pallas, mesh)
+                                 width, smooth_window, use_pallas, mesh,
+                                 n_real=n_real)
     else:
         scores = _eucl_scores_core(Xc, c(recon), critic, rec_error,
                                    combination, width, smooth_window,
@@ -697,7 +706,7 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
 # ---------------------------------------------------------------------------
 
 _STATIC_FLEET = ("hyperbolic", "combination", "rec_error", "width",
-                 "use_pallas", "mesh")
+                 "use_pallas", "mesh", "multivariate")
 
 # HBM bound for the fleet programs: the critic-KDE pair stage is the peak
 # buffer — (S, T, W, W) f32 with T = N_pad + W - 1 anti-diagonal rows per
@@ -807,6 +816,10 @@ def _fleet_stage(X_list, staged):
     trunc the per-signal path uses (score_anomalies_*: trunc(N*0.01))."""
     from hypad_tpu.train.fleet import pad_and_stack
 
+    widths = {int(x.shape[1]) for x in X_list}
+    if len(widths) > 1:
+        raise ValueError("fleet signals must share a window/feature width; "
+                         f"got {sorted(widths)}")
     if staged is not None:
         Xs_full, n_staged = staged
         S = len(X_list)
@@ -830,7 +843,7 @@ def _fleet_stage(X_list, staged):
 @functools.partial(jax.jit, static_argnames=_STATIC_FLEET)
 def _detect_fleet_device(stacked_params, Xs, n_real, smooth_window,
                          hyperbolic, combination, rec_error, width,
-                         use_pallas, mesh=None):
+                         use_pallas, mesh=None, multivariate=False):
     from hypad_tpu.parallel.mesh import shard_leading
 
     constrain = shard_leading(mesh)
@@ -840,14 +853,14 @@ def _detect_fleet_device(stacked_params, Xs, n_real, smooth_window,
     def one(params, X, n, w):
         return _detect_core(params, X, hyperbolic, combination, rec_error,
                             width, w, use_pallas, mesh=None,
-                            multivariate=False, n_real=n)[0]
+                            multivariate=multivariate, n_real=n)[0]
 
     return jax.vmap(one)(stacked_params, Xs, n_real, smooth_window)
 
 
 def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
                         rec_error="point", mesh=None, staged=None,
-                        canonical=True):
+                        canonical=True, multivariate=False):
     """Whole-family detection — S signals' forward passes AND full scoring
     pipelines in ONE vmapped, jit-compiled program.
 
@@ -891,8 +904,16 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     tolerance already documented in PARITY.md; asserted at the anchor
     tolerance in tests/test_fleet_canonical.py).
 
+    ``multivariate=True``: rows are per-timestep feature vectors (N_i, F)
+    — the CASAS/SWAT/WADI shape — and each signal runs the multivariate
+    scoring tail (`_mv_scores_core`) with masked reductions over its real
+    prefix; all signals must share a feature count F. Whole multi-resident
+    CASAS families then score as one vmapped program, same as univariate
+    families (parity vs per-signal detect_scores in
+    tests/test_fleet_mv.py).
+
     Returns a list of S per-signal score vectors, each sliced to its true
-    length (N_i hyperbolic, N_i + W - 1 euclidean).
+    length (N_i hyperbolic/multivariate, N_i + W - 1 euclidean).
     """
     S_real = len(X_list)
     Xs, n_real, smooth = _fleet_stage(X_list, staged)
@@ -907,10 +928,11 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     def run(p, x, n, sm):
         return _detect_fleet_device(
             p, jnp.asarray(x), jnp.asarray(n), jnp.asarray(sm), hyperbolic,
-            combination, rec_error, width, False, mesh=mesh)
+            combination, rec_error, width, False, mesh=mesh,
+            multivariate=multivariate)
 
     out = _fleet_chunked(run, stacked_params, Xs, n_real, smooth)
-    lens = [int(n) if hyperbolic else int(n) + width - 1
+    lens = [int(n) if (hyperbolic or multivariate) else int(n) + width - 1
             for n in n_real[:S_real]]
     return [out[i, :L] for i, L in enumerate(lens)]
 
@@ -1002,7 +1024,13 @@ def _grid_core(params, X, hyperbolic, combinations, rec_errors, width,
                 raw = st.acosh_poincare_distance(c(recons), c(other))
             else:
                 raw = jnp.linalg.norm(c(other) - c(recons), axis=1)
-            rec_scores = jnp.clip(zscore(raw), 0.0, None) + 1.0
+            if n_real is None:
+                z = zscore(raw)
+            else:  # the exact _mv_scores_core masked tail (fleet path)
+                from hypad_tpu.ops.rolling import zscore_masked
+
+                z = zscore_masked(raw, jnp.arange(raw.shape[0]) < n_real)
+            rec_scores = jnp.clip(z, 0.0, None) + 1.0
         else:
             rec_scores = st.acosh_poincare_distance(c(recons), c(other))
         cs = (critic_scores[: rec_scores.shape[0]] if need_critic else [])
@@ -1117,13 +1145,13 @@ def detect_scores_grid(params, X, hyperbolic, combinations,
 
 
 _STATIC_FLEET_GRID = ("hyperbolic", "combinations", "rec_errors", "width",
-                      "use_pallas", "mesh")
+                      "use_pallas", "mesh", "multivariate")
 
 
 @functools.partial(jax.jit, static_argnames=_STATIC_FLEET_GRID)
 def _detect_fleet_grid_device(stacked_params, Xs, n_real, smooth_window,
                               hyperbolic, combinations, rec_errors, width,
-                              use_pallas, mesh=None):
+                              use_pallas, mesh=None, multivariate=False):
     from hypad_tpu.parallel.mesh import shard_leading
 
     constrain = shard_leading(mesh)
@@ -1133,14 +1161,15 @@ def _detect_fleet_grid_device(stacked_params, Xs, n_real, smooth_window,
     def one(params, X, n, w):
         return _grid_core(params, X, hyperbolic, combinations, rec_errors,
                           width, w, use_pallas, mesh=None,
-                          multivariate=False, n_real=n)
+                          multivariate=multivariate, n_real=n)
 
     return jax.vmap(one)(stacked_params, Xs, n_real, smooth_window)
 
 
 def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
                              combinations, rec_errors=("point",), mesh=None,
-                             staged=None, canonical=True):
+                             staged=None, canonical=True,
+                             multivariate=False):
     """A whole signal family x the whole (rec_error x combination) grid in
     ONE vmapped program — the composition of ``detect_scores_fleet`` (S
     signals' forwards + ragged scoring vmapped over a padded stack) and
@@ -1152,15 +1181,16 @@ def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
     model selection over a family — "which (rec_error, combination) works
     best across these signals?" — is one compile and one transfer.
 
-    Univariate only (like ``detect_scores_fleet``); ``staged`` as there;
-    HBM-bounded signal chunking as there (``FLEET_MAX_PAIR_ELEMS``);
-    ``canonical`` shape-bucket padding as there.
+    ``staged`` as in ``detect_scores_fleet``; HBM-bounded signal chunking
+    as there (``FLEET_MAX_PAIR_ELEMS``); ``canonical`` shape-bucket padding
+    as there; ``multivariate`` (N_i, F) rows + the mv scoring tail as there
+    (mv cells are keyed by combination alone, like hyperbolic ones).
     Returns a list of S dicts ``{(rec_error|None, combination): scores}``,
     each cell identical to the per-signal ``detect_scores_grid`` output
-    (tests/test_grid.py::test_fleet_grid_*).
+    (tests/test_grid.py::test_fleet_grid_*, tests/test_fleet_mv.py).
     """
     combinations, rec_errors = _validate_grid(hyperbolic, combinations,
-                                              rec_errors)
+                                              rec_errors, multivariate)
     S_real = len(X_list)
     Xs, n_real, smooth = _fleet_stage(X_list, staged)
     if canonical:
@@ -1172,14 +1202,15 @@ def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
     def run(p, x, n, sm):
         return _detect_fleet_grid_device(
             p, jnp.asarray(x), jnp.asarray(n), jnp.asarray(sm), hyperbolic,
-            combinations, rec_errors, width, False, mesh=mesh)
+            combinations, rec_errors, width, False, mesh=mesh,
+            multivariate=multivariate)
 
     out = _fleet_chunked(run, stacked_params, Xs, n_real, smooth)
-    lens = [int(n) if hyperbolic else int(n) + width - 1
+    lens = [int(n) if (hyperbolic or multivariate) else int(n) + width - 1
             for n in n_real[:S_real]]
     per_signal = []
     for i, L in enumerate(lens):
-        if hyperbolic:
+        if hyperbolic or multivariate:
             cells = {(None, cb): np.asarray(v[i, :L])
                      for cb, v in out.items()}
         else:
