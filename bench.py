@@ -41,6 +41,13 @@ extras (all measured in the same run, full-framework coverage):
              the tunneled backend; pre-round-3 CLI behavior)
   detect_20k_wps — the wired one-call program at 20k windows (the PARITY
              warm-path-anatomy regime)
+  detect_default_20k_wps — the REFERENCE-DEFAULT path (save_artifacts:
+             true) at the same regime: one-call detection + sync D2H of
+             the inference tensors + uncompressed .npz persistence. Bounded
+             below by ~0.72 s of tunnel transfer physics (24 MB at
+             ~35 MB/s) + ~1.3 s of 1-core disk write — the round-4 savez
+             (was savez_compressed: 7.3 s of zlib) is the fix; async D2H
+             measured SLOWER through the tunnel and was rejected
   fleet9_detect_* — 9 ragged signals' detection (forward + full scoring)
              in ONE vmapped fleet program (`hypad sweep`'s detection path,
              detect/scorer.detect_scores_fleet), incl. per-call pad+upload;
@@ -316,6 +323,28 @@ def main():
     detect_20k_wps = _throughput(lambda: detect(X20), len(X20),
                                  spread_key="detect_20k_wps")
 
+    # the REFERENCE-DEFAULT detection path (save_artifacts: true) at the
+    # same regime: fetch the inference tensors (sync D2H of ~24 MB through
+    # the ~35 MB/s tunnel, measured 0.72 s — copy_to_host_async measured
+    # SLOWER through the tunnel, 1.2 s, so the fetch stays sync) and
+    # persist them (np.savez, round 4 — savez_compressed was 7.3 s of
+    # 1-core zlib, the single largest cost of this path)
+    import tempfile
+
+    from hypad_tpu.utils import artifacts as _art
+
+    _artdir = tempfile.mkdtemp(prefix="bench_art_")
+
+    def detect_default():
+        scores, inf = sc.detect_scores(state.params, X20, True,
+                                       "uncertainty", mesh=mesh,
+                                       fetch_inference=True)
+        _art.save_inference(_artdir, inf, np.arange(len(X20) + 100))
+        return scores
+
+    detect_default_20k_wps = _throughput(
+        detect_default, len(X20), spread_key="detect_default_20k_wps")
+
     # euclidean-DTW end-to-end detection at the same 20k-window regime —
     # the anti-diagonal DTW (ops/dtw.py, round 4) moved the dtw column from
     # ~19x slower than point to pipeline parity; the small-N
@@ -438,6 +467,7 @@ def main():
         f"detect_e2e={detect_e2e_wps:.0f}w/s "
         f"detect_upload={detect_upload_wps:.0f}w/s "
         f"detect_20k={detect_20k_wps:.0f}w/s "
+        f"detect_default_20k={detect_default_20k_wps:.0f}w/s "
         f"grid12={grid12_s:.4f}s "
         f"fleet9_detect={fleet_detect_wps:.0f}w/s "
         f"fleet9_detect_staged={fleet_detect_staged_wps:.0f}w/s "
@@ -473,6 +503,7 @@ def main():
                                             2),
             "detect_e2e_upload_wps": round(detect_upload_wps),
             "detect_20k_wps": round(detect_20k_wps),
+            "detect_default_20k_wps": round(detect_default_20k_wps),
             "eucl_dtw_detect_20k_wps": round(eucl_dtw_detect_20k_wps),
             "grid12_detect_s": round(grid12_s, 4),
             "grid12_cells_per_s": round(12 / grid12_s, 2),

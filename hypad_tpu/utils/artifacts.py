@@ -21,11 +21,18 @@ _FILE = "inference.npz"
 
 
 def save_inference(path, out: InferenceOutput, true_index=None):
+    """Persist the inference tensors UNCOMPRESSED: zlib on float32 model
+    outputs compresses poorly and costs far more than it saves on this
+    1-core host — measured 7.3 s savez_compressed vs 1.3 s savez for the
+    24 MB hyperbolic artifact set at 20k windows (round 4), which made
+    compression the single largest cost of the reference-default
+    ``save_artifacts: true`` detection path. ``np.load`` reads both
+    formats, so caches written by earlier versions still load."""
     os.makedirs(path, exist_ok=True)
     arrays = {k: v for k, v in out._asdict().items() if v is not None}
     if true_index is not None:
         arrays["true_index"] = np.asarray(true_index)
-    np.savez_compressed(os.path.join(path, _FILE), **arrays)
+    np.savez(os.path.join(path, _FILE), **arrays)
 
 
 def load_inference(path):
