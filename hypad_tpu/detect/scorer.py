@@ -711,25 +711,35 @@ _STATIC_FLEET = ("hyperbolic", "combination", "rec_error", "width",
 # HBM bound for the fleet programs: the critic-KDE pair stage is the peak
 # buffer — (S, T, W, W) f32 with T = N_pad + W - 1 anti-diagonal rows per
 # signal. Families whose stacked pair tensor would exceed this many elements
-# are scored in overlapping tail-aligned signal chunks of one fixed shape,
-# so ONE compiled program serves every chunk (a fresh shape costs 40-200 s
-# of remote compile through a tunneled backend). 1.2e9 elems = 4.8 GB f32,
-# the measured-working S=81 x A1 stack (PROFILE.md "Fleet scaling") with
-# headroom on a 16 GB chip.
-FLEET_MAX_PAIR_ELEMS = 1_200_000_000
+# are scored in fixed-shape signal chunks (full chunks of the budget size
+# plus one replica-padded remainder bucket), so a small canonical shape set
+# serves every chunk (a fresh shape costs 40-200 s of remote compile
+# through a tunneled backend). 1.4e9 elems = 5.6 GB f32 — sized so the
+# S=85 x A1-CANONICAL stack (85 x 1536-rung windows, the bucket covering
+# the round-3 measured-working 81 x 1320 regime) runs as ONE program on a
+# 16 GB chip; single-call verified on-chip round 4.
+FLEET_MAX_PAIR_ELEMS = 1_400_000_000
 
 
 def _fleet_chunk_plan(S, n_pad, width):
-    """Chunk starts for the fleet signal axis. Returns (starts, S_c):
-    ``starts is None`` means a single full-fleet call; otherwise every chunk
-    is ``[start, start + S_c)`` — the last start is tail-aligned (chunks
-    overlap rather than shrink) so all chunks share one compiled shape."""
+    """Chunk plan for the fleet signal axis. Returns (chunks, S_c):
+    ``chunks is None`` means a single full-fleet call of S signals;
+    otherwise ``chunks`` is a list of (start, size) slices — full chunks of
+    ``S_c`` signals plus, if S % S_c, one remainder chunk whose size is the
+    canonical small-fleet bucket (``_next_s_rung``, capped at S_c); the
+    driver replica-pads its short slice up to that size. Round 3's
+    tail-aligned overlap chunks recomputed up to S_c - 1 signals per family
+    (80% waste at S=81/S_c=73); the remainder bucket recomputes at most
+    bucket - remainder."""
     per_signal = (n_pad + width - 1) * width * width
     S_c = max(int(FLEET_MAX_PAIR_ELEMS // max(per_signal, 1)), 1)
     if S <= S_c:
         return None, S
-    starts = list(range(0, S - S_c, S_c)) + [S - S_c]
-    return starts, S_c
+    chunks = [(i * S_c, S_c) for i in range(S // S_c)]
+    r = S % S_c
+    if r:
+        chunks.append((S - r, min(_next_s_rung(r), S_c)))
+    return chunks, S_c
 
 
 # Canonical fleet program shapes: every fleet/grid detection call pads its
@@ -739,13 +749,19 @@ def _fleet_chunk_plan(S, n_pad, width):
 # microseconds of vmapped compute — round-3's Yahoo grid study paid 51.5 s
 # for A1's novel S=67 shape while A4 reused A3's S=100 shape and ran in
 # 14.2 s. The window axis rounds up to a ~1.33-1.5x rung ladder (<=50%
-# compute waste); the signal axis rounds up to the next power of two, capped
+# compute waste); the signal axis rounds up the FLEET_S_RUNGS ladder, capped
 # at the HBM chunk size (which is itself a single canonical shape per N
 # rung, so over-chunk-size fleets need no padding at all). Padding is
 # REPLICAS of the last signal — full valid lanes, no NaN-producing empty
 # reductions — whose output rows are simply discarded.
 FLEET_N_RUNGS = tuple(
     b * 2 ** k for k in range(10) for b in (128, 192) if b * 2 ** k <= 131072
+)
+# signal-axis ladder: x1.33-1.5 steps cap the dummy-replica compute waste at
+# ~33% (a pow2 ladder measured 2-4x fleet-detection regressions in the r4
+# bench: 9 -> 16 signals is 1.78x wasted vmap compute)
+FLEET_S_RUNGS = tuple(
+    b * 2 ** k for k in range(9) for b in (4, 6) if b * 2 ** k <= 1024
 )
 
 
@@ -756,18 +772,22 @@ def _next_rung(n):
     return n  # beyond the ladder: exact shape (huge signals are rare)
 
 
+def _next_s_rung(s):
+    for r in sorted(FLEET_S_RUNGS):
+        if r >= s:
+            return r
+    return s
+
+
 def canonical_fleet_shape(S, n_pad, width):
     """The canonical compiled shape (S_c, N_c) covering an (S, n_pad, width)
     fleet stack. ``S_c < S`` means no signal padding: the HBM chunk plan
-    (`_fleet_chunk_plan`) will carve the fleet into fixed ``S_c``-sized
-    chunks that are already one canonical shape."""
+    (`_fleet_chunk_plan`) will carve the fleet into fixed-size chunks that
+    are themselves canonical shapes."""
     N_c = _next_rung(n_pad)
     per_signal = (N_c + width - 1) * width * width
     S_chunk = max(int(FLEET_MAX_PAIR_ELEMS // max(per_signal, 1)), 1)
-    S_c = 4  # floor: tiny fleets (1-4 signals, seed bands) share one shape
-    while S_c < S:
-        S_c *= 2
-    return min(S_c, S_chunk), N_c
+    return min(_next_s_rung(S), S_chunk), N_c
 
 
 def _pad_axis_with_zeros(x, axis, target):
@@ -890,9 +910,10 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     its first S rows are consumed.
 
     Families too large for HBM (the stacked KDE pair tensor past
-    ``FLEET_MAX_PAIR_ELEMS``) are scored in overlapping fixed-shape signal
-    chunks through the SAME compiled program — per-signal results are
-    independent, so chunk boundaries cannot change them.
+    ``FLEET_MAX_PAIR_ELEMS``) are scored in fixed-shape signal chunks (full
+    chunks plus one replica-padded remainder bucket) so at most two compiled
+    programs serve any family — per-signal results are independent, so chunk
+    boundaries cannot change them.
 
     ``canonical`` (default True) pads the stack to a canonical compiled
     shape (`canonical_fleet_shape`) so different families share programs —
@@ -940,30 +961,38 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
 def _fleet_chunked(run, stacked_params, Xs, n_real, smooth):
     """Drive ``run`` over the whole fleet, chunking the signal axis when the
     stacked KDE pair tensor would blow HBM (``_fleet_chunk_plan``). ``run``
-    returns a (S_c, ...)-leading array or a dict of them; chunk outputs are
-    reassembled by row (overlap rows are recomputed identically)."""
+    returns a chunk-leading array or a dict of them; chunk outputs are
+    reassembled by row. A remainder chunk shorter than its canonical bucket
+    is replica-padded (the replicas' output rows are dropped)."""
     S = Xs.shape[0]
-    starts, S_c = _fleet_chunk_plan(S, Xs.shape[1], Xs.shape[2])
-    if starts is None:
+    chunks, S_c = _fleet_chunk_plan(S, Xs.shape[1], Xs.shape[2])
+    if chunks is None:
         # device_get batches the device->host copies (per-leaf np.asarray
         # would serialize one ~24 ms tunnel round-trip per grid cell)
         return jax.device_get(run(stacked_params, Xs, n_real, smooth))
     full = None
-    for start in starts:
-        sl = slice(start, start + S_c)
+    for start, size in chunks:
+        real = min(size, S - start)
+        sl = slice(start, start + real)
+
+        def cut(x):
+            part = x[sl]
+            return (part if real == size
+                    else _pad_leading_with_replicas(part, size))
+
         sub = jax.device_get(
-            run(jax.tree_util.tree_map(lambda x: x[sl], stacked_params),
-                Xs[sl], n_real[sl], smooth[sl]))
+            run(jax.tree_util.tree_map(cut, stacked_params),
+                cut(Xs), cut(np.asarray(n_real)), cut(np.asarray(smooth))))
         if isinstance(sub, dict):
             if full is None:
                 full = {k: np.zeros((S,) + v.shape[1:], v.dtype)
                         for k, v in sub.items()}
             for k, v in sub.items():
-                full[k][sl] = v
+                full[k][sl] = v[:real]
         else:
             if full is None:
                 full = np.zeros((S,) + sub.shape[1:], sub.dtype)
-            full[sl] = sub
+            full[sl] = sub[:real]
     return full
 
 

@@ -251,9 +251,9 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
     ``len(X_list)`` signals; ``n_real`` covers the real signals only.
 
     ``canonical``: pad the window axis to the detection-side rung ladder
-    (detect/scorer.FLEET_N_RUNGS) and the signal axis to the next power of
-    two (floor 4; mesh-divisible) with masked dummy signals, so different
-    families compile to the SAME program shapes — in-process jit reuse
+    (detect/scorer.FLEET_N_RUNGS) and the signal axis up the
+    FLEET_S_RUNGS ladder (mesh-divisible) with masked dummy signals, so
+    different families compile to the SAME program shapes — in-process jit reuse
     aside, the remote backend's fingerprint cache then serves family B's
     training programs from family A's compiles even across processes
     (measured 9.5 s vs 91 s cold, CLAUDE.md). Forces the ragged stream:
@@ -271,15 +271,16 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
         n_pad = (-S) % ndev
     target_len = None
     if canonical:
-        from hypad_tpu.detect.scorer import _next_rung
+        from hypad_tpu.detect.scorer import _next_rung, _next_s_rung
 
         if ragged is False:
             raise ValueError("canonical shapes require the ragged stream")
         ragged = True
         target_len = _next_rung(max(x.shape[0] for x in X_list))
-        target_S = 4
-        while target_S < S or target_S % ndev:
-            target_S *= 2
+        target_S = _next_s_rung(S)
+        # mesh-divisible: round the rung up to the device-count multiple
+        # (canonical per (rung, ndev) — ndev is fixed for a deployment)
+        target_S += (-target_S) % ndev
         n_pad = target_S - S
     if seeds is not None and len(lens) == 1 and n_pad and ragged is not True:
         # equal-length seed band on a mesh: replicate the last signal

@@ -50,9 +50,10 @@ def test_canonical_fleet_shape_buckets():
     assert sc.canonical_fleet_shape(3, 256, W) == (4, 256)
     assert sc.canonical_fleet_shape(3, 257, W) == (4, 384)
     assert sc.canonical_fleet_shape(1, 100, W)[1] == 128
-    # signal axis rounds up to the next power of two (floor 4)
+    # signal axis rounds up the 4/6-based x1.33-1.5 ladder (floor 4)
     assert sc.canonical_fleet_shape(1, 210, W)[0] == 4
-    assert sc.canonical_fleet_shape(9, 1320, W)[0] == 16
+    assert sc.canonical_fleet_shape(5, 210, W)[0] == 6
+    assert sc.canonical_fleet_shape(9, 1320, W)[0] == 12
     # past the HBM chunk cap the canonical S is the chunk size itself, so
     # A1 (S=67, padded) and A3/A4 (S=100, chunked) share one program shape
     s67, n67 = sc.canonical_fleet_shape(67, 1320, W)
@@ -74,8 +75,8 @@ def test_canonical_shape_capped_by_chunk_plan(monkeypatch):
     assert sc.canonical_fleet_shape(1, 210, W) == (2, 256)
     assert sc.canonical_fleet_shape(2, 210, W) == (2, 256)
     assert sc.canonical_fleet_shape(3, 210, W) == (2, 256)
-    starts, S_c = sc._fleet_chunk_plan(3, 256, W)
-    assert S_c == 2 and starts == [0, 1]
+    chunks, S_c = sc._fleet_chunk_plan(3, 256, W)
+    assert S_c == 2 and chunks == [(0, 2), (2, 2)]
 
 
 @pytest.mark.parametrize("hyperbolic,combination", [

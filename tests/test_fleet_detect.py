@@ -133,12 +133,14 @@ def test_fleet_detect_chunked_matches_full(monkeypatch):
     program; per-signal scores must match the single-call fleet program."""
     stacked, params, X_list = _family(False)
     full = sc.detect_scores_fleet(stacked, X_list, False, "mult")
-    # budget of 2 signals' pair tensors: 3 signals -> chunks [0:2], [1:3]
-    n_pad = max(LENS)
+    # budget of 2 CANONICAL signals' pair tensors (the fleet pads N to its
+    # 256 rung before chunking): 3 signals -> a full [0:2] chunk + a
+    # replica-padded remainder chunk of the same bucket size
+    n_bucket = sc.canonical_fleet_shape(len(X_list), max(LENS), W)[1]
     monkeypatch.setattr(sc, "FLEET_MAX_PAIR_ELEMS",
-                        2 * (n_pad + W - 1) * W * W)
-    starts, S_c = sc._fleet_chunk_plan(len(X_list), n_pad, W)
-    assert starts == [0, 1] and S_c == 2
+                        2 * (n_bucket + W - 1) * W * W)
+    chunks, S_c = sc._fleet_chunk_plan(len(X_list), n_bucket, W)
+    assert chunks == [(0, 2), (2, 2)] and S_c == 2
     chunked = sc.detect_scores_fleet(stacked, X_list, False, "mult")
     for c, f in zip(chunked, full):
         np.testing.assert_allclose(c, f, rtol=1e-5, atol=1e-7)
@@ -173,8 +175,8 @@ def test_fleet_chunk_plan_edges():
     old = scorer.FLEET_MAX_PAIR_ELEMS
     try:
         scorer.FLEET_MAX_PAIR_ELEMS = 1
-        starts, S_c = sc._fleet_chunk_plan(3, 100, W)
-        assert S_c == 1 and starts == [0, 1, 2]
+        chunks, S_c = sc._fleet_chunk_plan(3, 100, W)
+        assert S_c == 1 and chunks == [(0, 1), (1, 1), (2, 1)]
     finally:
         scorer.FLEET_MAX_PAIR_ELEMS = old
 
