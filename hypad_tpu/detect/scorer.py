@@ -809,31 +809,61 @@ def _pad_leading_with_replicas(x, target):
     return xp.concatenate([x, rep])
 
 
+@functools.partial(jax.jit, static_argnames=("s_target", "n_target"))
+def _pad_stack_device(Xs, *, s_target, n_target):
+    return _pad_leading_with_replicas(
+        _pad_axis_with_zeros(Xs, 1, n_target), s_target)
+
+
+@functools.partial(jax.jit, static_argnames=("s_target",))
+def _pad_tree_device(tree, *, s_target):
+    return jax.tree_util.tree_map(
+        lambda x: _pad_leading_with_replicas(x, s_target), tree)
+
+
 def _fleet_canonical_pad(stacked_params, Xs, n_real, smooth):
     """Pad a staged fleet stack to its canonical compiled shape
     (`canonical_fleet_shape`): zeros on the window axis (value-invariant —
     every reduction is masked to the traced ``n_real`` prefix), replicas of
     the last signal on the signal axis (output rows past the real S are the
-    caller's to discard). Device-resident leaves are padded on device (no
-    host round-trip)."""
+    caller's to discard). Device-resident leaves are padded ON DEVICE in
+    ONE jitted program each for the stack and the param tree — the round-4
+    un-jitted tree_map paid ~2 dispatches per leaf through the tunnel
+    (~0.27 s/call at S=81, tools/canonical_cost.py) and erased most of the
+    staged path's win. Params shorter than the stack (sweep slices them to
+    the real S) are replica-aligned to the stack's row count."""
     S, n_pad, width = Xs.shape
     S_c, N_c = canonical_fleet_shape(S, n_pad, width)
-    if N_c > n_pad:
-        Xs = _pad_axis_with_zeros(Xs, 1, N_c)
-    if S_c > S:
-        Xs = _pad_leading_with_replicas(Xs, S_c)
-        stacked_params = jax.tree_util.tree_map(
-            lambda x: _pad_leading_with_replicas(x, S_c), stacked_params)
-        n_real = _pad_leading_with_replicas(np.asarray(n_real), S_c)
-        smooth = _pad_leading_with_replicas(np.asarray(smooth), S_c)
+    S_t, N_t = max(S_c, S), max(N_c, n_pad)
+    n_real = _pad_leading_with_replicas(np.asarray(n_real), S_t)
+    smooth = _pad_leading_with_replicas(np.asarray(smooth), S_t)
+    if S_t > S or N_t > n_pad:
+        if isinstance(Xs, jax.Array):
+            Xs = _pad_stack_device(Xs, s_target=S_t, n_target=N_t)
+        else:
+            Xs = _pad_leading_with_replicas(
+                _pad_axis_with_zeros(Xs, 1, N_t), S_t)
+    leaves = jax.tree_util.tree_leaves(stacked_params)
+    if leaves and leaves[0].shape[0] < S_t:
+        if isinstance(leaves[0], jax.Array):
+            stacked_params = _pad_tree_device(stacked_params, s_target=S_t)
+        else:
+            stacked_params = jax.tree_util.tree_map(
+                lambda x: _pad_leading_with_replicas(x, S_t), stacked_params)
     return stacked_params, Xs, n_real, smooth
 
 
-def _fleet_stage(X_list, staged):
+def _fleet_stage(X_list, staged, canonical=False):
     """Shared fleet staging: validate/slice a device-resident padded stack
     (``staged``: train_fleet ``return_staged=True``) or host pad+stack, plus
     the per-signal smooth windows computed host-side with the exact Python
-    trunc the per-signal path uses (score_anomalies_*: trunc(N*0.01))."""
+    trunc the per-signal path uses (score_anomalies_*: trunc(N*0.01)).
+
+    ``canonical=True``: when the staged stack already sits at the detection
+    bucket (train_fleet ``canonical=True`` stages it there by design), it is
+    used AS-IS — zero copies, zero dispatches — instead of being sliced back
+    to the real S and re-padded per call; the dummy tail rows score garbage
+    (replica window counts over pad data) that the caller discards."""
     from hypad_tpu.train.fleet import pad_and_stack
 
     widths = {int(x.shape[1]) for x in X_list}
@@ -851,7 +881,17 @@ def _fleet_stage(X_list, staged):
         if not (np.asarray(n_staged)[:S] == n_real).all():
             raise ValueError("staged window counts disagree with X_list — "
                              "stale stack?")
-        Xs = Xs_full[:S]
+        S_full, N_full = int(Xs_full.shape[0]), int(Xs_full.shape[1])
+        if (canonical and S_full > S and N_full == _next_rung(N_full)
+                and S_full == canonical_fleet_shape(
+                    S, N_full, Xs_full.shape[2])[0]):
+            Xs = Xs_full
+            n_real = np.concatenate(
+                [n_real, np.repeat(n_real[-1:], S_full - S)])
+        elif S_full > S:
+            Xs = Xs_full[:S]
+        else:
+            Xs = Xs_full
     else:
         Xs, n_real = pad_and_stack(
             [np.asarray(x, np.float32) for x in X_list])
@@ -937,7 +977,7 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     length (N_i hyperbolic/multivariate, N_i + W - 1 euclidean).
     """
     S_real = len(X_list)
-    Xs, n_real, smooth = _fleet_stage(X_list, staged)
+    Xs, n_real, smooth = _fleet_stage(X_list, staged, canonical)
     if canonical:
         stacked_params, Xs, n_real, smooth = _fleet_canonical_pad(
             stacked_params, Xs, n_real, smooth)
@@ -1221,7 +1261,7 @@ def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
     combinations, rec_errors = _validate_grid(hyperbolic, combinations,
                                               rec_errors, multivariate)
     S_real = len(X_list)
-    Xs, n_real, smooth = _fleet_stage(X_list, staged)
+    Xs, n_real, smooth = _fleet_stage(X_list, staged, canonical)
     if canonical:
         stacked_params, Xs, n_real, smooth = _fleet_canonical_pad(
             stacked_params, Xs, n_real, smooth)

@@ -261,6 +261,11 @@ def test_fleet_grid_chunked_matches_full(monkeypatch, eucl_params):
     for i in range(3):
         assert set(chunked[i]) == set(full[i])
         for cell in full[i]:
+            # chunked signals run under a different compiled vmap width than
+            # the full-fleet program; XLA reassociates f32 reductions per
+            # shape, so dtw/critic chains drift ~1e-5 (not row mixing —
+            # that would be O(1); padded replica rows are dropped before
+            # comparison). atol dominates: z-scored 'sum' scores cross zero.
             np.testing.assert_allclose(chunked[i][cell], full[i][cell],
-                                       rtol=1e-5, atol=1e-7,
+                                       rtol=1e-4, atol=2e-5,
                                        err_msg=f"signal {i} cell {cell}")
