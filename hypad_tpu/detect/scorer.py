@@ -724,21 +724,21 @@ FLEET_MAX_PAIR_ELEMS = 1_400_000_000
 def _fleet_chunk_plan(S, n_pad, width):
     """Chunk plan for the fleet signal axis. Returns (chunks, S_c):
     ``chunks is None`` means a single full-fleet call of S signals;
-    otherwise ``chunks`` is a list of (start, size) slices — full chunks of
-    ``S_c`` signals plus, if S % S_c, one remainder chunk whose size is the
-    canonical small-fleet bucket (``_next_s_rung``, capped at S_c); the
-    driver replica-pads its short slice up to that size. Round 3's
-    tail-aligned overlap chunks recomputed up to S_c - 1 signals per family
-    (80% waste at S=81/S_c=73); the remainder bucket recomputes at most
-    bucket - remainder."""
+    otherwise ``chunks`` is a list of (start, size) slices, ALL of size
+    ``S_c`` — the driver slides a short tail chunk back to end at S and
+    drops its leading overlap rows (recomputed signals; per-signal results
+    are independent, so recomputation cannot change them). One compiled
+    shape therefore serves every chunk of every family at a given N rung:
+    round 4 first sized the remainder to its own small-fleet bucket, and
+    the full-Yahoo grid study then paid a 40-200 s novel remote compile per
+    family for each distinct remainder shape ((16,1536) for A2, (24,1728)
+    for A3 — 238 s total) while a warm full-size chunk executes in ~2 s;
+    overlap rows are pure vmapped compute, far cheaper than any compile."""
     per_signal = (n_pad + width - 1) * width * width
     S_c = max(int(FLEET_MAX_PAIR_ELEMS // max(per_signal, 1)), 1)
     if S <= S_c:
         return None, S
-    chunks = [(i * S_c, S_c) for i in range(S // S_c)]
-    r = S % S_c
-    if r:
-        chunks.append((S - r, min(_next_s_rung(r), S_c)))
+    chunks = [(i * S_c, S_c) for i in range(-(-S // S_c))]
     return chunks, S_c
 
 
@@ -853,6 +853,30 @@ def _fleet_canonical_pad(stacked_params, Xs, n_real, smooth):
     return stacked_params, Xs, n_real, smooth
 
 
+# Canonical padding perturbs reduction tilings by ~1 ulp; through the
+# z-score stages that turns the exact path's EXACT ZEROS (clip boundaries,
+# flat score runs) into ~1e-6 residue, which find_anomalies' per-window
+# mean+4sigma thresholds then amplify into spurious intervals wherever the
+# exact scores are constant (measured: SMAP D-9 point/sum — a 6,377-point
+# exact-zero run picked up 5.96e-8..1.7e-6 noise and two phantom intervals,
+# F1 1.0 -> 0.5). Genuine scores live orders of magnitude above 256 ulp of
+# the signal's peak; snapping below it restores the exact path's flat-region
+# semantics (validated corpus-wide: the full Yahoo + NASA grid re-scores
+# match the pre-canonical round-3 studies cell-for-cell).
+_SNAP_ULPS = 256.0
+
+
+def _snap_noise(s):
+    """Zero out |scores| below the f32 noise floor (256 ulp of the
+    signal's max) — canonical-fleet paths only; the exact per-signal path
+    stays bitwise-golden vs the reference."""
+    if not s.size:
+        return s
+    floor = _SNAP_ULPS * np.finfo(np.float32).eps * np.abs(s).max()
+    return np.where(np.abs(s) <= floor, np.float32(0), s).astype(
+        s.dtype, copy=False)
+
+
 def _fleet_stage(X_list, staged, canonical=False):
     """Shared fleet staging: validate/slice a device-resident padded stack
     (``staged``: train_fleet ``return_staged=True``) or host pad+stack, plus
@@ -950,10 +974,10 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     its first S rows are consumed.
 
     Families too large for HBM (the stacked KDE pair tensor past
-    ``FLEET_MAX_PAIR_ELEMS``) are scored in fixed-shape signal chunks (full
-    chunks plus one replica-padded remainder bucket) so at most two compiled
-    programs serve any family — per-signal results are independent, so chunk
-    boundaries cannot change them.
+    ``FLEET_MAX_PAIR_ELEMS``) are scored in fixed-shape signal chunks — all
+    of one size, the tail chunk slid back to end at S — so ONE compiled
+    program serves any family at a given N rung; per-signal results are
+    independent, so chunk boundaries cannot change them.
 
     ``canonical`` (default True) pads the stack to a canonical compiled
     shape (`canonical_fleet_shape`) so different families share programs —
@@ -963,7 +987,10 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     differently (measured <=7e-5 on the euclidean scores, <=8e-9
     hyperbolic — the same class of noise as the fleet-vs-sequential
     tolerance already documented in PARITY.md; asserted at the anchor
-    tolerance in tests/test_fleet_canonical.py).
+    tolerance in tests/test_fleet_canonical.py). Sub-noise-floor values
+    are snapped to exact zero (`_snap_noise`) so the exact path's flat
+    score runs — where find_anomalies' per-window thresholds are
+    infinitely noise-sensitive — survive the padding bit-for-bit.
 
     ``multivariate=True``: rows are per-timestep feature vectors (N_i, F)
     — the CASAS/SWAT/WADI shape — and each signal runs the multivariate
@@ -995,44 +1022,64 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     out = _fleet_chunked(run, stacked_params, Xs, n_real, smooth)
     lens = [int(n) if (hyperbolic or multivariate) else int(n) + width - 1
             for n in n_real[:S_real]]
+    if canonical:
+        return [_snap_noise(out[i, :L]) for i, L in enumerate(lens)]
     return [out[i, :L] for i, L in enumerate(lens)]
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _cut_tree_device(tree, start, *, size):
+    """Slice ``size`` leading-axis rows at ``start`` from every leaf in ONE
+    compiled program. ``start`` is traced, so every chunk of every family
+    shares one compile per (treedef, size); un-jitted per-leaf slicing pays
+    ~2 host dispatches per leaf through the tunnel (the canonical-pad
+    lesson, tools/canonical_cost.py)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.dynamic_slice_in_dim(x, start, size, axis=0),
+        tree)
 
 
 def _fleet_chunked(run, stacked_params, Xs, n_real, smooth):
     """Drive ``run`` over the whole fleet, chunking the signal axis when the
     stacked KDE pair tensor would blow HBM (``_fleet_chunk_plan``). ``run``
     returns a chunk-leading array or a dict of them; chunk outputs are
-    reassembled by row. A remainder chunk shorter than its canonical bucket
-    is replica-padded (the replicas' output rows are dropped)."""
+    reassembled by row. Every chunk has the same S_c rows (one compiled
+    shape per N rung): the tail chunk is slid back to end at row S and its
+    leading overlap rows — signals the previous chunk already scored — are
+    dropped on reassembly. Device-resident trees are cut by one jitted
+    traced-start program each (`_cut_tree_device`)."""
     S = Xs.shape[0]
     chunks, S_c = _fleet_chunk_plan(S, Xs.shape[1], Xs.shape[2])
     if chunks is None:
         # device_get batches the device->host copies (per-leaf np.asarray
         # would serialize one ~24 ms tunnel round-trip per grid cell)
         return jax.device_get(run(stacked_params, Xs, n_real, smooth))
+
+    def cut(tree, start):
+        leaves = jax.tree_util.tree_leaves(tree)
+        if leaves and isinstance(leaves[0], jax.Array):
+            return _cut_tree_device(tree, start, size=S_c)
+        return jax.tree_util.tree_map(
+            lambda x: x[start:start + S_c], tree)
+
     full = None
     for start, size in chunks:
-        real = min(size, S - start)
-        sl = slice(start, start + real)
-
-        def cut(x):
-            part = x[sl]
-            return (part if real == size
-                    else _pad_leading_with_replicas(part, size))
-
+        start_c = min(start, S - size)  # slide the tail chunk back
+        off = start - start_c
         sub = jax.device_get(
-            run(jax.tree_util.tree_map(cut, stacked_params),
-                cut(Xs), cut(np.asarray(n_real)), cut(np.asarray(smooth))))
+            run(cut(stacked_params, start_c), cut(Xs, start_c),
+                np.asarray(n_real)[start_c:start_c + size],
+                np.asarray(smooth)[start_c:start_c + size]))
         if isinstance(sub, dict):
             if full is None:
                 full = {k: np.zeros((S,) + v.shape[1:], v.dtype)
                         for k, v in sub.items()}
             for k, v in sub.items():
-                full[k][sl] = v[:real]
+                full[k][start:start_c + size] = v[off:]
         else:
             if full is None:
                 full = np.zeros((S,) + sub.shape[1:], sub.dtype)
-            full[sl] = sub[:real]
+            full[start:start_c + size] = sub[off:]
     return full
 
 
@@ -1277,14 +1324,15 @@ def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
     out = _fleet_chunked(run, stacked_params, Xs, n_real, smooth)
     lens = [int(n) if (hyperbolic or multivariate) else int(n) + width - 1
             for n in n_real[:S_real]]
+    snap = _snap_noise if canonical else (lambda s: s)
     per_signal = []
     for i, L in enumerate(lens):
         if hyperbolic or multivariate:
-            cells = {(None, cb): np.asarray(v[i, :L])
+            cells = {(None, cb): snap(np.asarray(v[i, :L]))
                      for cb, v in out.items()}
         else:
             cells = {(k.split("/")[0], k.split("/")[1]):
-                     np.asarray(v[i, :L]) for k, v in out.items()}
+                     snap(np.asarray(v[i, :L])) for k, v in out.items()}
         per_signal.append(cells)
     return per_signal
 

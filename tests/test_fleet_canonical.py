@@ -215,3 +215,42 @@ def test_two_families_share_one_compiled_program():
     size_after_a = sc._detect_fleet_grid_device._cache_size()
     sc.detect_scores_fleet_grid(stacked_b, X_b, True, **kw)
     assert sc._detect_fleet_grid_device._cache_size() == size_after_a
+
+
+def test_snap_noise_restores_exact_zeros():
+    """Canonical tiling noise turns the exact path's EXACT ZEROS into ~ulp
+    residue, which find_anomalies' per-window mean+4sigma thresholds
+    amplify into phantom intervals on flat score runs (SMAP D-9 point/sum:
+    F1 1.0 -> 0.5 from 5.96e-8 noise on a 6,377-point zero run). The snap
+    floors |s| <= 256 ulp of the peak back to exact zero and leaves real
+    scores untouched."""
+    eps = np.finfo(np.float32).eps
+    s = np.array([0.0, 2 * eps, -30 * eps, 1e-3, 2.0, -1.5], np.float32)
+    got = sc._snap_noise(s)
+    np.testing.assert_array_equal(
+        got, np.array([0, 0, 0, 1e-3, 2.0, -1.5], np.float32))
+    assert got.dtype == np.float32
+    # all-zero row: floor 0, nothing to snap, no nan
+    np.testing.assert_array_equal(
+        sc._snap_noise(np.zeros(5, np.float32)), np.zeros(5, np.float32))
+    assert sc._snap_noise(np.zeros(0, np.float32)).size == 0
+
+
+def test_canonical_zero_runs_survive_padding():
+    """End-to-end: a signal whose exact per-signal scores contain exact
+    zeros must yield exact zeros from the canonical fleet path at those
+    positions (the D-9 regression class)."""
+    stacked, X_list = _family((210, 150, 90), False)
+    per = [sc.detect_scores(
+        jax.tree_util.tree_map(lambda x, i=i: x[i], stacked),
+        X, False, "sum", rec_error="point", fetch_inference=False)[0]
+        for i, X in enumerate(X_list)]
+    fleet = sc.detect_scores_fleet(stacked, X_list, False, "sum",
+                                   rec_error="point", canonical=True)
+    for p, f in zip(per, fleet):
+        p = np.asarray(p)
+        zeros = p == 0
+        if zeros.any():
+            assert (np.asarray(f)[zeros] == 0).all()
+        # documented canonical tiling-noise bound (<=7e-5 euclidean)
+        np.testing.assert_allclose(f, p, rtol=3e-4, atol=7e-5)

@@ -181,6 +181,46 @@ def test_fleet_chunk_plan_edges():
         scorer.FLEET_MAX_PAIR_ELEMS = old
 
 
+def test_fleet_chunk_plan_uniform_sizes():
+    """Every chunk has the SAME size S_c (one compiled shape per N rung);
+    a short tail is expressed as a full-size chunk the driver slides back
+    to end at S, not as a smaller remainder bucket (round 4: distinct
+    remainder shapes each paid a 40-200 s novel remote compile)."""
+    import hypad_tpu.detect.scorer as scorer
+
+    old = scorer.FLEET_MAX_PAIR_ELEMS
+    try:
+        per = (100 + W - 1) * W * W
+        scorer.FLEET_MAX_PAIR_ELEMS = 2 * per
+        assert sc._fleet_chunk_plan(5, 100, W) == ([(0, 2), (2, 2), (4, 2)], 2)
+        scorer.FLEET_MAX_PAIR_ELEMS = 3 * per
+        assert sc._fleet_chunk_plan(5, 100, W) == ([(0, 3), (3, 3)], 3)
+        assert sc._fleet_chunk_plan(3, 100, W) == (None, 3)
+    finally:
+        scorer.FLEET_MAX_PAIR_ELEMS = old
+
+
+def test_fleet_detect_chunk_tail_overlap(monkeypatch):
+    """A 5-signal family through a 3-signal budget: the tail chunk (3, 3)
+    slides back to rows [2, 5) and its leading overlap row (signal 2,
+    already scored by chunk one) is dropped on reassembly — per-signal
+    scores must match the unchunked fleet call."""
+    lens = (210, 150, 90, 180, 120)
+    params = [init_tadgan(jax.random.PRNGKey(31 + i), signal_shape=W,
+                          hyperbolic=False) for i in range(len(lens))]
+    X_list = [_toy_windows(n, seed=10 + i) for i, n in enumerate(lens)]
+    stacked = fl.stack_states(params)
+    full = sc.detect_scores_fleet(stacked, X_list, False, "mult")
+    n_bucket = sc.canonical_fleet_shape(len(lens), max(lens), W)[1]
+    monkeypatch.setattr(sc, "FLEET_MAX_PAIR_ELEMS",
+                        3 * (n_bucket + W - 1) * W * W)
+    chunks, S_c = sc._fleet_chunk_plan(len(lens), n_bucket, W)
+    assert S_c == 3 and chunks == [(0, 3), (3, 3)]
+    chunked = sc.detect_scores_fleet(stacked, X_list, False, "mult")
+    for c, f in zip(chunked, full):
+        np.testing.assert_allclose(c, f, rtol=1e-5, atol=1e-7)
+
+
 def test_fleet_detect_chunked_on_mesh(monkeypatch):
     """HBM chunking composes with signal-axis dp sharding: each <=S_c
     chunk is itself sharded over the mesh (GSPMD pads uneven shards)."""
