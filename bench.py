@@ -97,14 +97,18 @@ def _rep_times(fn, force, n_reps=N_TIMED_REPS):
     """Shared timing protocol: one warm call (compile + remote fingerprint),
     then ``n_reps`` timed calls with forced completion (fetch a value —
     block_until_ready lies through the tunnel). Returns (best_seconds,
-    relative spread)."""
-    force(fn())
+    relative spread, last_output) — asserts on the output must consume
+    ``last_output`` rather than re-dispatching the program (an extra full
+    call of a grid program is seconds of single-user chip time)."""
+    out = fn()
+    force(out)
     ts = []
     for _ in range(n_reps):
         t0 = time.time()
-        force(fn())
+        out = fn()
+        force(out)
         ts.append(time.time() - t0)
-    return min(ts), _spread(ts)
+    return min(ts), _spread(ts), out
 
 
 def _timed_epochs(tr, state, X, multi_fn, key):
@@ -118,7 +122,7 @@ def _timed_epochs(tr, state, X, multi_fn, key):
         holder[0], m = multi_fn(holder[0], X, jax.random.fold_in(key, 0))
         return m
 
-    best, spr = _rep_times(run, lambda m: float(m["decoder_loss"][-1]))
+    best, spr, _ = _rep_times(run, lambda m: float(m["decoder_loss"][-1]))
     return holder[0], best / N_TIMED_EPOCHS, spr
 
 
@@ -209,7 +213,7 @@ def _pallas_onchip_check(data, state):
 def _throughput(fn, n, spread_key=None):
     """Best-of-N windows/sec with forced completion; records the relative
     spread under ``spread_key`` in the global SPREAD table."""
-    best, spr = _rep_times(fn, lambda out: float(out[-1]))
+    best, spr, _ = _rep_times(fn, lambda out: float(out[-1]))
     if spread_key:
         SPREAD[spread_key] = spr
     return n / best
@@ -264,7 +268,7 @@ def main():
             fkey, 0))
         return fm
 
-    best, SPREAD["fleet9_epoch_s"] = _rep_times(
+    best, SPREAD["fleet9_epoch_s"], _ = _rep_times(
         _fleet_run, lambda fm: float(jnp.sum(fm["decoder_loss"][-1])))
     fleet_epoch_s = best / N_TIMED_EPOCHS
     del fholder, fstate, Xs
@@ -313,8 +317,10 @@ def main():
                                   mesh=mesh)
 
     # device_get inside the grid call forces completion of every cell
-    grid12_s, SPREAD["grid12_detect_s"] = _rep_times(grid, lambda o: None)
-    assert len(grid()) == 12
+    grid12_s, SPREAD["grid12_detect_s"], grid_out = _rep_times(
+        grid, lambda o: None)
+    assert len(grid_out) == 12
+    del grid_out
 
     # the 20k-window regime (PARITY.md warm-path anatomy row), wired path
     rng = np.random.default_rng(3)
@@ -399,9 +405,8 @@ def main():
             eg_params, fleet_X, False, EUCL_COMBOS,
             rec_errors=("point", "area", "dtw"), staged=fleet_staged)
 
-    fleet_grid108_s, SPREAD["fleet9_grid108_detect_s"] = _rep_times(
+    fleet_grid108_s, SPREAD["fleet9_grid108_detect_s"], out = _rep_times(
         fleet_grid, lambda o: None)
-    out = fleet_grid()
     assert len(out) == 9 and len(out[0]) == 12
     del out, eg_params
 

@@ -324,7 +324,7 @@ def find_anomalies_batch(errors, index_list, window_size=None,
                          window_size_portion=None, window_step_size=None,
                          window_step_size_portion=None, min_percent=0.1,
                          anomaly_padding=50, lower_threshold=False,
-                         fixed_threshold=True):
+                         fixed_threshold=None):
     """``find_anomalies`` over C cells sharing one score length, vectorized
     across the cell axis.
 
@@ -339,18 +339,24 @@ def find_anomalies_batch(errors, index_list, window_size=None,
 
     ``errors``: (C, T) matrix — one row per cell (rows of one grid/sweep
     share T by construction). ``index_list``: one (>=T,) timestamp index
-    per cell, or a single shared index. Fixed-threshold path only (the
-    reference configs' path); dynamic thresholds fall back to per-cell
-    ``find_anomalies``. Returns a list of C interval arrays.
+    per cell (a length-C list/tuple of array-likes), or a single shared
+    index. ``fixed_threshold`` defaults to None — dynamic thresholds, the
+    same default as the serial ``find_anomalies`` — and dynamic cells fall
+    back to the exact per-cell path (scipy.fmin per window is inherently
+    serial); only the fixed-threshold path is vectorized across cells.
+    Returns a list of C interval arrays.
     """
     E = np.ascontiguousarray(np.asarray(errors, dtype=np.float64))
     if E.ndim != 2:
         raise ValueError(f"errors must be (C, T), got shape {E.shape}")
     C, T = E.shape
+    # per-cell indexes are a length-C list/tuple of ARRAY-LIKES; a plain
+    # list of scalar timestamps (accepted by find_anomalies as the shared
+    # index) must not be misread as C per-cell entries
+    shared = not (isinstance(index_list, (list, tuple))
+                  and len(index_list) == C
+                  and all(np.ndim(e) >= 1 for e in index_list))
     if not fixed_threshold:
-        # dynamic thresholds run scipy.fmin per window — inherently serial;
-        # keep the exact per-cell path
-        shared = not isinstance(index_list, (list, tuple))
         return [find_anomalies(
                     E[c], index_list if shared else index_list[c],
                     window_size=window_size,
@@ -359,7 +365,8 @@ def find_anomalies_batch(errors, index_list, window_size=None,
                     window_step_size_portion=window_step_size_portion,
                     min_percent=min_percent,
                     anomaly_padding=anomaly_padding,
-                    lower_threshold=lower_threshold, fixed_threshold=False)
+                    lower_threshold=lower_threshold,
+                    fixed_threshold=fixed_threshold)
                 for c in range(C)]
     window_size, window_step_size = _window_geometry(
         T, window_size, window_size_portion, window_step_size,
@@ -380,7 +387,6 @@ def find_anomalies_batch(errors, index_list, window_size=None,
                                     window_start, sequences)
         window_start += window_step_size
 
-    shared = not isinstance(index_list, (list, tuple))
     out = []
     for c in range(C):
         index = index_list if shared else index_list[c]

@@ -779,15 +779,22 @@ def _next_s_rung(s):
     return s
 
 
-def canonical_fleet_shape(S, n_pad, width):
+def canonical_fleet_shape(S, n_pad, width, ndev=1):
     """The canonical compiled shape (S_c, N_c) covering an (S, n_pad, width)
     fleet stack. ``S_c < S`` means no signal padding: the HBM chunk plan
     (`_fleet_chunk_plan`) will carve the fleet into fixed-size chunks that
-    are themselves canonical shapes."""
+    are themselves canonical shapes.
+
+    ``ndev``: mesh device count — the signal rung rounds up to a device
+    multiple so the dp-sharded axis divides evenly, matching the rounding
+    ``train_fleet(canonical=True)`` applies when it stages the stack (the
+    canonical set is per (rung, ndev); ndev is fixed for a deployment)."""
     N_c = _next_rung(n_pad)
     per_signal = (N_c + width - 1) * width * width
     S_chunk = max(int(FLEET_MAX_PAIR_ELEMS // max(per_signal, 1)), 1)
-    return min(_next_s_rung(S), S_chunk), N_c
+    s = _next_s_rung(S)
+    s += (-s) % max(ndev, 1)
+    return min(s, S_chunk), N_c
 
 
 def _pad_axis_with_zeros(x, axis, target):
@@ -821,7 +828,7 @@ def _pad_tree_device(tree, *, s_target):
         lambda x: _pad_leading_with_replicas(x, s_target), tree)
 
 
-def _fleet_canonical_pad(stacked_params, Xs, n_real, smooth):
+def _fleet_canonical_pad(stacked_params, Xs, n_real, smooth, ndev=1):
     """Pad a staged fleet stack to its canonical compiled shape
     (`canonical_fleet_shape`): zeros on the window axis (value-invariant —
     every reduction is masked to the traced ``n_real`` prefix), replicas of
@@ -833,7 +840,7 @@ def _fleet_canonical_pad(stacked_params, Xs, n_real, smooth):
     staged path's win. Params shorter than the stack (sweep slices them to
     the real S) are replica-aligned to the stack's row count."""
     S, n_pad, width = Xs.shape
-    S_c, N_c = canonical_fleet_shape(S, n_pad, width)
+    S_c, N_c = canonical_fleet_shape(S, n_pad, width, ndev)
     S_t, N_t = max(S_c, S), max(N_c, n_pad)
     n_real = _pad_leading_with_replicas(np.asarray(n_real), S_t)
     smooth = _pad_leading_with_replicas(np.asarray(smooth), S_t)
@@ -877,7 +884,7 @@ def _snap_noise(s):
         s.dtype, copy=False)
 
 
-def _fleet_stage(X_list, staged, canonical=False):
+def _fleet_stage(X_list, staged, canonical=False, ndev=1):
     """Shared fleet staging: validate/slice a device-resident padded stack
     (``staged``: train_fleet ``return_staged=True``) or host pad+stack, plus
     the per-signal smooth windows computed host-side with the exact Python
@@ -908,7 +915,7 @@ def _fleet_stage(X_list, staged, canonical=False):
         S_full, N_full = int(Xs_full.shape[0]), int(Xs_full.shape[1])
         if (canonical and S_full > S and N_full == _next_rung(N_full)
                 and S_full == canonical_fleet_shape(
-                    S, N_full, Xs_full.shape[2])[0]):
+                    S, N_full, Xs_full.shape[2], ndev)[0]):
             Xs = Xs_full
             n_real = np.concatenate(
                 [n_real, np.repeat(n_real[-1:], S_full - S)])
@@ -1004,10 +1011,11 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     length (N_i hyperbolic/multivariate, N_i + W - 1 euclidean).
     """
     S_real = len(X_list)
-    Xs, n_real, smooth = _fleet_stage(X_list, staged, canonical)
+    ndev = int(mesh.devices.size) if mesh is not None else 1
+    Xs, n_real, smooth = _fleet_stage(X_list, staged, canonical, ndev)
     if canonical:
         stacked_params, Xs, n_real, smooth = _fleet_canonical_pad(
-            stacked_params, Xs, n_real, smooth)
+            stacked_params, Xs, n_real, smooth, ndev)
     width = Xs.shape[2]
 
     # always the jnp/XLA KDE backend here: it is the measured-fastest and
@@ -1308,10 +1316,11 @@ def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
     combinations, rec_errors = _validate_grid(hyperbolic, combinations,
                                               rec_errors, multivariate)
     S_real = len(X_list)
-    Xs, n_real, smooth = _fleet_stage(X_list, staged, canonical)
+    ndev = int(mesh.devices.size) if mesh is not None else 1
+    Xs, n_real, smooth = _fleet_stage(X_list, staged, canonical, ndev)
     if canonical:
         stacked_params, Xs, n_real, smooth = _fleet_canonical_pad(
-            stacked_params, Xs, n_real, smooth)
+            stacked_params, Xs, n_real, smooth, ndev)
     width = Xs.shape[2]
 
     # jnp/XLA KDE backend, as in detect_scores_fleet (Mosaic is 2-D-only)

@@ -271,15 +271,20 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
         n_pad = (-S) % ndev
     target_len = None
     if canonical:
-        from hypad_tpu.detect.scorer import _next_rung, _next_s_rung
+        from hypad_tpu.detect.scorer import canonical_fleet_shape
 
         if ragged is False:
             raise ValueError("canonical shapes require the ragged stream")
         ragged = True
-        target_len = _next_rung(max(x.shape[0] for x in X_list))
-        target_S = _next_s_rung(S)
-        # mesh-divisible: round the rung up to the device-count multiple
-        # (canonical per (rung, ndev) — ndev is fixed for a deployment)
+        # the SAME helper detection's staged-accept uses (mesh-divisible
+        # rung, capped at the HBM chunk) — computed here once so the staged
+        # stack lands exactly on the shape detect_scores_fleet will reuse
+        # as-is; a fleet past the chunk cap stays unpadded on the signal
+        # axis (detection chunks it anyway, dummy signals would only waste
+        # training compute)
+        S_c, target_len = canonical_fleet_shape(
+            S, max(x.shape[0] for x in X_list), X_list[0].shape[1], ndev)
+        target_S = max(S_c, S)
         target_S += (-target_S) % ndev
         n_pad = target_S - S
     if seeds is not None and len(lens) == 1 and n_pad and ragged is not True:

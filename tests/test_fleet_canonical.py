@@ -195,6 +195,53 @@ def test_canonical_staged_feeds_canonical_detection():
         np.testing.assert_allclose(g, w, rtol=3e-4, atol=1e-5)
 
 
+def test_canonical_shape_mesh_divisible():
+    # with a mesh, the signal rung rounds up to the device-count multiple —
+    # the SAME rounding train_fleet(canonical=True) applies, so the staged
+    # accept in _fleet_stage fires on a mesh too
+    assert sc.canonical_fleet_shape(9, 1320, W, ndev=8)[0] == 16
+    assert sc.canonical_fleet_shape(3, 210, W, ndev=8)[0] == 8
+    assert sc.canonical_fleet_shape(5, 210, W, ndev=4)[0] == 8
+    # ndev=1 keeps the plain ladder
+    assert sc.canonical_fleet_shape(9, 1320, W, ndev=1)[0] == 12
+
+
+def test_canonical_staged_accept_fires_on_mesh():
+    """train_fleet(canonical=True) on a mesh pads the signal axis to the
+    device-multiple rung; detection's staged accept must recognize that
+    shape and use the stack AS-IS (zero copies) rather than slicing back to
+    the real S and re-padding per call — and the mesh-sharded scores must
+    match the meshless unstaged path."""
+    from hypad_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh("all")
+    ndev = int(mesh.devices.size)
+    X_list = [_toy_windows(96, seed=0), _toy_windows(64, seed=1),
+              _toy_windows(80, seed=2)]
+    fstate = fl.init_fleet_state(
+        [init_tadgan(jax.random.PRNGKey(i), signal_shape=W,
+                     hyperbolic=False) for i in range(3)],
+        lr=5e-4, hyperbolic=False)
+    fstate, staged = fl.train_fleet(
+        fstate, X_list, lr=5e-4, hyperbolic=False, batch_size=32,
+        n_epochs=1, seed=0, canonical=True, mesh=mesh, return_staged=True)
+    S_want = sc.canonical_fleet_shape(3, 128, W, ndev)[0]
+    assert staged[0].shape[0] == S_want and S_want % ndev == 0
+
+    # the accept itself: the staged stack comes back untouched
+    Xs, n_real, _ = sc._fleet_stage(X_list, staged, True, ndev)
+    assert Xs is staged[0]
+    assert list(n_real[:3]) == [96, 64, 80]
+
+    params3 = jax.tree_util.tree_map(lambda x: x[:3], fstate.params)
+    want = sc.detect_scores_fleet(params3, X_list, False, "mult")
+    got = sc.detect_scores_fleet(params3, X_list, False, "mult",
+                                 staged=staged, mesh=mesh)
+    assert [len(g) for g in got] == [len(w) for w in want]
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=3e-4, atol=7e-5)
+
+
 def test_two_families_share_one_compiled_program():
     """The whole point: family B (different S, different N, same bucket)
     pays ZERO novel fleet-program compiles after family A ran."""

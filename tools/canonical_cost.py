@@ -104,7 +104,7 @@ def main():
     # the pad alone, forced
     def pad_only():
         o = sc._fleet_canonical_pad(sp, staged[0], np.asarray(n_real),
-                                    np.asarray(n_real))
+                                    smooth)
         jax.block_until_ready(o[1])
         return float(jax.tree_util.tree_leaves(o[0])[0][-1].ravel()[0])
 
