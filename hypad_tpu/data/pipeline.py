@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import stat
 from datetime import datetime
 from typing import Optional
 
@@ -197,7 +198,19 @@ def load_signal_dataset(path: str, interval: float = 21600,
             df.columns = ["timestamp", "value", "is_anomaly"]
         known = extract_known_anomalies(df["is_anomaly"].values,
                                         df["timestamp"].values)
-        if cache_dir:
+        # the reference writes the intervals beside the source CSV
+        # (save_known_anomalies, utils/dataloader.py:14-32 called at :77);
+        # data roots whose mode bits mark them read-only (e.g. a vendored
+        # benchmark checkout) fall back to the run dir instead — checked via
+        # the mode bit, not os.access, because root bypasses permissions
+        src_dir = os.path.dirname(os.path.abspath(path))
+        writable = bool(os.stat(src_dir).st_mode & stat.S_IWUSR)
+        try:
+            if writable:
+                known.to_csv(path[:-4] + "_known_anomalies.csv")
+        except OSError:
+            writable = False
+        if not writable and cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
             base = os.path.basename(path)[:-4] + "_known_anomalies.csv"
             known.to_csv(os.path.join(cache_dir, base))

@@ -62,6 +62,37 @@ def test_yahoo_pipeline_matches_reference(ref_dl, tmp_path):
     assert got_rows == ref_rows
 
 
+def test_known_anomalies_written_beside_source(tmp_path):
+    # reference behavior (utils/dataloader.py:77 -> :14-32): the intervals
+    # CSV lands beside the source file when its directory is writable ...
+    import shutil
+
+    local_csv = tmp_path / "real_1.csv"
+    shutil.copy(YAHOO_CSV, local_csv)
+    got = dp.load_signal_dataset(str(local_csv), interval=1, yahoo=True)
+    out = tmp_path / "real_1_known_anomalies.csv"
+    assert out.exists()
+    written = pd.read_csv(out, index_col=0)
+    np.testing.assert_array_equal(
+        written[["start", "end"]].values,
+        got.known_anomalies[["start", "end"]].values)
+
+    # ... and a read-only data root (mode bits, e.g. the vendored checkout)
+    # falls back to the run-dir cache instead of writing beside the source
+    ro = tmp_path / "ro"
+    ro.mkdir()
+    shutil.copy(YAHOO_CSV, ro / "real_1.csv")
+    ro.chmod(0o555)
+    cache = tmp_path / "cache"
+    try:
+        dp.load_signal_dataset(str(ro / "real_1.csv"), interval=1,
+                               yahoo=True, cache_dir=str(cache))
+    finally:
+        ro.chmod(0o755)
+    assert not (ro / "real_1_known_anomalies.csv").exists()
+    assert (cache / "real_1_known_anomalies.csv").exists()
+
+
 def test_detrend_matches_scipy():
     from scipy import signal as ss
 
