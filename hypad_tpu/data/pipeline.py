@@ -14,9 +14,10 @@ device once per run (float32). Divergences from the reference (documented):
   * bucket membership uses floor((t - t0)/interval); identical to the
     reference's ``.loc[t0 : t0+interval-1]`` ranges for the integer-valued
     timestamps of every dataset shipped with the reference.
-  * the Yahoo known-anomaly CSV is returned in memory (and optionally written
-    under the run dir) instead of being written next to the source CSV —
-    data roots may be read-only.
+  * the Yahoo known-anomaly CSV is written beside the source CSV when the
+    data dir's mode bits allow (the reference behavior,
+    utils/dataloader.py:14-32), atomically via temp-file + os.replace; when
+    the data root is read-only it falls back to the run/cache dir instead.
 """
 
 from __future__ import annotations
@@ -207,7 +208,18 @@ def load_signal_dataset(path: str, interval: float = 21600,
         writable = bool(os.stat(src_dir).st_mode & stat.S_IWUSR)
         try:
             if writable:
-                known.to_csv(path[:-4] + "_known_anomalies.csv")
+                # temp-file + os.replace: a partial write (ENOSPC, signal)
+                # must never leave a truncated *_known_anomalies.csv beside
+                # the source — the reference pipeline reads that file back
+                # (anomaly_detection.py:35) and would silently use it
+                dst = path[:-4] + "_known_anomalies.csv"
+                tmp = dst + ".tmp"
+                try:
+                    known.to_csv(tmp)
+                    os.replace(tmp, dst)
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
         except OSError:
             writable = False
         if not writable and cache_dir:

@@ -18,10 +18,25 @@ processed in blocks to bound the (block, W, W) intermediate.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from hypad_tpu.ops.unroll import masked_median
+
+# the masked-entry sentinel (see one_block below) is only exact when real
+# values are far below it; critic scores are O(1) so 1e15 is a generous bound
+_SENTINEL_BOUND = 1e15
+_DEBUG = os.environ.get("HYPAD_DEBUG", "") not in ("", "0")
+
+
+def _check_sentinel_bound(max_abs):
+    if not (max_abs < _SENTINEL_BOUND):  # also trips on NaN
+        raise FloatingPointError(
+            f"kde_argmax_rows: |vals| max {max_abs!r} >= {_SENTINEL_BOUND:g}; "
+            "the 1e18 masked-entry sentinel is no longer separable from real "
+            "data and the density argmax would be silently wrong")
 
 
 def kde_argmax_rows(vals, mask, block=1024):
@@ -60,6 +75,13 @@ def kde_argmax_rows(vals, mask, block=1024):
         med = masked_median(vb, mb)
         use_kde = (cnt > 1) & (var > 0)
         return jnp.where(use_kde, kde_val, med)
+
+    if _DEBUG:
+        # HYPAD_DEBUG=1: verify the sentinel contract even under jit (the
+        # callback raises on host); off by default — adds one tiny kernel +
+        # a host sync per call
+        max_abs = jnp.max(jnp.abs(jnp.where(mask, vals, 0.0)))
+        jax.debug.callback(_check_sentinel_bound, max_abs)
 
     T = vals.shape[0]
     if T <= block:

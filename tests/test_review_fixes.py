@@ -318,3 +318,27 @@ def test_detection_plots_reference_behavior(tmp_path):
     assert run("uni_forced", "s", True)              # forced on
     assert run("mv_default", "multivariate", None)   # mv: reference plots
     assert not run("mv_off", "multivariate", False)  # forced off
+
+
+def test_kde_sentinel_debug_guard(monkeypatch):
+    """HYPAD_DEBUG=1 makes the 1e18 masked-entry sentinel contract explicit:
+    values anywhere near it raise instead of silently corrupting the
+    density argmax (ops/kde.py sentinel block)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import hypad_tpu.ops.kde as kde
+
+    monkeypatch.setattr(kde, "_DEBUG", True)
+    vals = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8)),
+                       jnp.float32)
+    mask = jnp.ones((4, 8), bool)
+    # in-bound values pass
+    out = np.asarray(kde.kde_argmax_rows(vals, mask))
+    assert out.shape == (4,)
+    # out-of-bound values trip the callback
+    bad = vals.at[1, 3].set(1e16)
+    import pytest
+    with pytest.raises(Exception, match="sentinel"):
+        np.asarray(kde.kde_argmax_rows(bad, mask))
+    # masked out-of-bound values are fine (they ARE the sentinel's job)
+    np.asarray(kde.kde_argmax_rows(bad, mask.at[1, 3].set(False)))

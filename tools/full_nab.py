@@ -149,7 +149,8 @@ def main():
           "mean_f1(all,NaN=0)")
     for key, g in table.groupby(keys):
         scored = g["f1"].dropna()
-        label = key if isinstance(key, str) else "/".join(map(str, key))
+        key = key if isinstance(key, tuple) else (key,)
+        label = "/".join(map(str, key))
         print(f"{str(label):28}  {len(g):4d}  {len(scored):8d}  "
               f"{scored.mean() if len(scored) else float('nan'):15.4f}  "
               f"{g['f1'].fillna(0.0).mean():18.4f}")
