@@ -210,10 +210,14 @@ def _pallas_onchip_check(data, state):
     return bool(kde_ok and ml_ok), int(max(v1_flips, v2_flips)), ml_maxdiff
 
 
-def _throughput(fn, n, spread_key=None):
+def _throughput(fn, n, spread_key=None, n_reps=None):
     """Best-of-N windows/sec with forced completion; records the relative
-    spread under ``spread_key`` in the global SPREAD table."""
-    best, spr, _ = _rep_times(fn, lambda out: float(out[-1]))
+    spread under ``spread_key`` in the global SPREAD table. ``n_reps``
+    overrides the default rep count for fields whose round-4 spread
+    exceeded 40% (tunnel/1-core-host variance needs more samples)."""
+    best, spr, _ = _rep_times(fn, lambda out: float(out[-1]),
+                              **({} if n_reps is None
+                                 else {"n_reps": n_reps}))
     if spread_key:
         SPREAD[spread_key] = spr
     return n / best
@@ -277,7 +281,7 @@ def main():
     inf = sc.run_inference(state.params, data.X, True, mesh=mesh)
     hyper_wps = _throughput(
         lambda: sc.score_anomalies_hyperbolic(inf, "uncertainty", mesh=mesh),
-        len(data.X), spread_key="hyper_scoring_wps")
+        len(data.X), spread_key="hyper_scoring_wps", n_reps=7)
 
     # ---- end-to-end detection throughput: ONE program (forward + full
     # scoring), scores-only so the inference-tensor transfer is DCE'd —
@@ -349,7 +353,20 @@ def main():
         return scores
 
     detect_default_20k_wps = _throughput(
-        detect_default, len(X20), spread_key="detect_default_20k_wps")
+        detect_default, len(X20), spread_key="detect_default_20k_wps",
+        n_reps=7)
+
+    # cached re-scoring (`load: true`): artifacts staged on device ONCE
+    # (scorer.stage_inference), then the fused scoring program runs
+    # device-resident — the detector.py params.load path (round 5; the
+    # round-4 upload-paying staged path measured ~21-28k w/s)
+    inf20, idx20 = _art.load_inference(_artdir)
+    inf20_dev = sc.stage_inference(inf20)
+    rescore_resident_20k_wps = _throughput(
+        lambda: sc.score_anomalies_hyperbolic(inf20_dev, "uncertainty",
+                                              mesh=mesh),
+        len(X20), spread_key="rescore_resident_20k_wps")
+    del inf20, idx20
 
     # euclidean-DTW end-to-end detection at the same 20k-window regime —
     # the anti-diagonal DTW (ops/dtw.py, round 4) moved the dtw column from
@@ -387,6 +404,13 @@ def main():
                                        "uncertainty",
                                        staged=fleet_staged)[-1], n_fleet_win,
         spread_key="fleet9_detect_staged_wps")
+    # exact-shape twin (canonical=False): side-by-side accounting of the
+    # canonical-bucket pad cost on the default path (VERDICT r4 item 1b)
+    fleet_detect_staged_exact_wps = _throughput(
+        lambda: sc.detect_scores_fleet(fd_params, fleet_X, True,
+                                       "uncertainty", staged=fleet_staged,
+                                       canonical=False)[-1], n_fleet_win,
+        spread_key="fleet9_detect_staged_exact_wps")
 
     # fleet x grid: 9 signals x 12 euclidean cells (108 detection cells) in
     # ONE vmapped program on the staged stack — the `sweep --rec-errors ...
@@ -420,12 +444,17 @@ def main():
         lambda x: jnp.broadcast_to(x, (S81,) + x.shape), state.params)
     f81Xs, f81n = fl.pad_and_stack(fleet81_X)
     fleet81_staged = (jax.device_put(jnp.asarray(f81Xs), dev0), f81n)
+    n81_win = sum(len(x) for x in fleet81_X)
     fleet81_detect_staged_wps = _throughput(
         lambda: sc.detect_scores_fleet(fd81_params, fleet81_X, True,
                                        "uncertainty",
                                        staged=fleet81_staged)[-1],
-        sum(len(x) for x in fleet81_X),
-        spread_key="fleet81_detect_staged_wps")
+        n81_win, spread_key="fleet81_detect_staged_wps")
+    fleet81_detect_staged_exact_wps = _throughput(
+        lambda: sc.detect_scores_fleet(fd81_params, fleet81_X, True,
+                                       "uncertainty", staged=fleet81_staged,
+                                       canonical=False)[-1],
+        n81_win, spread_key="fleet81_detect_staged_exact_wps")
     del fleet81_staged, fd81_params
 
     # ---- SMAP A-1 hyperbolic epoch (separate train split, 2780 windows —
@@ -478,6 +507,7 @@ def main():
         f"fleet9_detect_staged={fleet_detect_staged_wps:.0f}w/s "
         f"fleet9_grid108={fleet_grid108_s:.4f}s "
         f"fleet81_detect_staged={fleet81_detect_staged_wps:.0f}w/s "
+        f"fleet81_detect_staged_exact={fleet81_detect_staged_exact_wps:.0f}w/s "
         f"eucl_dtw_scoring={eucl_wps:.0f}w/s pallas_ok={pallas_ok} "
         f"(kde_tie_flips={kde_flips}, mobius_maxdiff={ml_maxdiff})",
         file=sys.stderr,
@@ -509,14 +539,19 @@ def main():
             "detect_e2e_upload_wps": round(detect_upload_wps),
             "detect_20k_wps": round(detect_20k_wps),
             "detect_default_20k_wps": round(detect_default_20k_wps),
+            "rescore_resident_20k_wps": round(rescore_resident_20k_wps),
             "eucl_dtw_detect_20k_wps": round(eucl_dtw_detect_20k_wps),
             "grid12_detect_s": round(grid12_s, 4),
             "grid12_cells_per_s": round(12 / grid12_s, 2),
             "fleet9_detect_wps": round(fleet_detect_wps),
             "fleet9_detect_staged_wps": round(fleet_detect_staged_wps),
+            "fleet9_detect_staged_exact_wps": round(
+                fleet_detect_staged_exact_wps),
             "fleet9_grid108_detect_s": round(fleet_grid108_s, 4),
             "fleet9_grid108_cells_per_s": round(108 / fleet_grid108_s, 1),
             "fleet81_detect_staged_wps": round(fleet81_detect_staged_wps),
+            "fleet81_detect_staged_exact_wps": round(
+                fleet81_detect_staged_exact_wps),
             # like-for-like regimes: the upload-paying fleet vs 9 sequential
             # upload-paying one-calls; the staged fleet vs 9 sequential
             # device-resident one-calls

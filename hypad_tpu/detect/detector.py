@@ -98,6 +98,11 @@ def detect(params, state_params, test_data, run_path, read_path="",
     cached = artifacts.load_inference(run_path) if params.load else None
     if cached is not None:
         inference, true_index = cached
+        # stage the cached tensors on device ONCE: every scoring program
+        # below then runs device-resident instead of re-uploading the
+        # artifact set per call (round 4 measured the upload-paying staged
+        # path at ~4% of one-call throughput; scores are bitwise identical)
+        inference = sc.stage_inference(inference, mesh=mesh)
     else:
         # stage the windows on device ONCE and keep them resident on the
         # dataset object: the warm detection path is transfer-bound through

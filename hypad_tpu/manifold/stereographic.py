@@ -8,7 +8,12 @@ tanh/artanh clamp schedule, ``:340-352`` project, ``:381-383`` lambda_x,
 ``:1132-1136`` expmap0, ``:1267-1270`` logmap0, ``:1307-1323`` mobius_matvec,
 ``:1739-1745`` parallel transport, ``:1843-1845`` egrad2rgrad,
 ``:853-858`` mobius_scalar_mul, ``:1940-1952`` antipode, ``:2026-2090``
-weighted_midpoint, ``:2135-2159`` dist2plane_matmul). The
+weighted_midpoint, ``:2135-2159`` dist2plane_matmul; round 5 completed the
+remaining public k<0 surface: ``:386`` inner, ``:433`` norm, ``:558``
+mobius_sub, ``:678/:747`` mobius_coadd/cosub, ``:905`` dist_matmul, ``:978``
+geodesic, ``:1139`` geodesic_unit, ``:1188`` logmap-at-x, ``:1374``
+mobius_fn_apply_chain — every public ``math_.py`` function meaningful on the
+ball is now implemented and golden-tested). The
 *implementation* is new: pure jnp in float32, jit/vmap/grad-transformable, with
 every stability clamp reproduced exactly so boundary numerics match the
 reference bit-for-bit in f32.
@@ -307,6 +312,96 @@ def dist2plane_matmul(x, p, z, k=-1.0):
     distance = arsin_k(
         2.0 / jnp.maximum(1.0 + k * p2, NORM_FLOOR) * inner, k)
     return 2.0 * distance * z_norm
+
+
+def inner(x, u, v, k=-1.0, keepdims=False):
+    """Riemannian inner product of tangent vectors u, v at x:
+    lambda_x^2 <u, v> (math_.py:386-431)."""
+    lam = lambda_x(x, k, keepdims=True)
+    return lam * lam * jnp.sum(u * v, axis=-1, keepdims=keepdims)
+
+
+def norm(x, u, k=-1.0, keepdims=False):
+    """Riemannian norm of tangent vector u at x: lambda_x ||u||_2
+    (math_.py:433-473). NOTE the reference applies ``keepdim`` to BOTH
+    factors (lambda_x and the norm), reproduced here."""
+    return lambda_x(x, k, keepdims=keepdims) * jnp.sqrt(
+        jnp.sum(u * u, axis=-1, keepdims=keepdims))
+
+
+def mobius_sub(x, y, k=-1.0):
+    """Mobius gyrovector subtraction x (-)_k y = x (+)_k (-y)
+    (math_.py:558-589)."""
+    return mobius_add(x, -y, k)
+
+
+def mobius_coadd(x, y, k=-1.0):
+    """Mobius cogyrovector addition (math_.py:678-744):
+    ((1 + k||y||^2) x + (1 + k||x||^2) y) / (1 - k^2 ||x||^2 ||y||^2)."""
+    k = jnp.asarray(k, dtype=jnp.result_type(x, y))
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    y2 = jnp.sum(y * y, axis=-1, keepdims=True)
+    num = (1.0 + k * y2) * x + (1.0 + k * x2) * y
+    denom = 1.0 - (k * k) * x2 * y2
+    return num / jnp.maximum(denom, NORM_FLOOR)
+
+
+def mobius_cosub(x, y, k=-1.0):
+    """Mobius cogyrovector subtraction: x coadd (-y) (math_.py:747-780)."""
+    return mobius_coadd(x, -y, k)
+
+
+def logmap(x, y, k=-1.0):
+    """Logarithmic map of y at x (math_.py:1188-1231):
+    2 artan_k(||(-x)(+)y||) * ((-x)(+)y) / (lambda_x ||(-x)(+)y||).
+    Inverse of :func:`expmap` at x (identity-tested)."""
+    sub = mobius_add(-x, y, k)
+    sub_norm = _last_norm(sub)
+    lam = lambda_x(x, k, keepdims=True)
+    return 2.0 * artan_k(sub_norm, k) * (sub / (lam * sub_norm))
+
+
+def dist_matmul(x, y, k=-1.0):
+    """Pairwise geodesic distances in matmul form (math_.py:905-947):
+    ``x``: (..., N, D), ``y``: (D, M) -> (..., N, M). The squared mobius_add
+    norm is expanded so the N x M grid needs one GEMM, not an N x M x D
+    intermediate — the MXU-friendly form of :func:`dist`."""
+    k = jnp.asarray(k, dtype=jnp.result_type(x))
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    y2 = jnp.sum(y * y, axis=-2, keepdims=True)
+    xy = x @ y
+    num = x2 - 2.0 * xy + y2
+    denom = jnp.maximum(1.0 + 2.0 * k * xy + (k * k) * x2 * y2, NORM_FLOOR)
+    return 2.0 * artan_k(jnp.sqrt(jnp.maximum(num / denom, NORM_FLOOR)), k)
+
+
+def geodesic(t, x, y, k=-1.0):
+    """Point at parameter t along the geodesic from x to y
+    (math_.py:978-1045): x (+) t (x) ((-x) (+) y)."""
+    v = mobius_add(-x, y, k)
+    tv = mobius_scalar_mul(t, v, k)
+    return mobius_add(x, tv, k)
+
+
+def geodesic_unit(t, x, u, k=-1.0):
+    """Unit-speed geodesic from x with direction u at arclength t
+    (math_.py:1139-1186): x (+) tan_k(t/2) u/||u||."""
+    u_norm = _last_norm(u)
+    second = tan_k(t / 2.0, k) * (u / u_norm)
+    return mobius_add(x, second, k)
+
+
+def mobius_fn_apply_chain(x, *fns, k=-1.0):
+    """Sequential gyrovector function application (math_.py:1374-1428):
+    ONE logmap0/expmap0 round trip around the whole chain. NOTE: like the
+    reference, the result is NOT projected back to the ball (unlike
+    :func:`mobius_fn_apply`, whose reference wrapper projects)."""
+    if not fns:
+        return x
+    ex = logmap0(x, k)
+    for fn in fns:
+        ex = fn(ex)
+    return expmap0(ex, k)
 
 
 def egrad2rgrad(x, grad, k=-1.0):

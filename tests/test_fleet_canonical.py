@@ -301,3 +301,26 @@ def test_canonical_zero_runs_survive_padding():
             assert (np.asarray(f)[zeros] == 0).all()
         # documented canonical tiling-noise bound (<=7e-5 euclidean)
         np.testing.assert_allclose(f, p, rtol=3e-4, atol=7e-5)
+
+
+def test_snap_device_matches_host():
+    """`_snap_scores_device` (in-program, round 5) must reproduce the host
+    `_snap_noise` oracle bitwise on the real prefix, ignoring pad rows —
+    including NaN propagation and all-zero rows."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    eps = np.finfo(np.float32).eps
+    cases = [
+        np.array([0.0, 2 * eps, -30 * eps, 1e-3, 2.0, -1.5], np.float32),
+        np.zeros(6, np.float32),
+        rng.normal(size=6).astype(np.float32) * 1e-5,
+        np.array([np.nan, 1.0, 2 * eps, 0.0, -1.0, 3.0], np.float32),
+    ]
+    for s in cases:
+        for L in (6, 4):
+            padded = np.concatenate([s, np.full(3, 7.0, np.float32)])
+            got = np.asarray(
+                sc._snap_scores_device(jnp.asarray(padded), L))[:L]
+            want = sc._snap_noise(s[:L])
+            np.testing.assert_array_equal(got, want)

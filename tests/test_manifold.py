@@ -306,3 +306,111 @@ def test_full_manifold_core_matches_executed_spec(rng):
     want = mod.project(torch.tensor(far, dtype=torch.float32),
                        k=torch.tensor(-1.0))
     chk(st.project(jnp.asarray(far, jnp.float32)), want, "project")
+
+
+# ---- L0 spec completion round 5: the remaining public k<0 math_.py API -----
+
+def test_remaining_spec_api_matches_executed_spec(rng):
+    """Round-5 additions (VERDICT r4 item 5) golden vs the vendored spec
+    executed from the reference checkout in float64: inner, norm,
+    mobius_sub, mobius_coadd, mobius_cosub, logmap, dist_matmul, geodesic,
+    geodesic_unit, mobius_fn_apply_chain (math_.py:386-1472)."""
+    import torch
+
+    mod = _refmath()
+    k64 = torch.tensor(-1.0, dtype=torch.float64)
+    x = random_ball_points(rng, (16, 10)).astype(np.float64)
+    y = random_ball_points(rng, (16, 10)).astype(np.float64)
+    u = rng.standard_normal((16, 10)) * 0.3
+    v = rng.standard_normal((16, 10)) * 0.3
+    t = rng.uniform(0.1, 0.9, (16, 1))
+    tx, ty, tu, tv, tt = (torch.tensor(a) for a in (x, y, u, v, t))
+
+    def chk(got, want, name, rtol=3e-5, atol=1e-6):
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=rtol, atol=atol, err_msg=name)
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    chk(st.inner(f32(x), f32(u), f32(v)), mod.inner(tx, tu, tv, k=k64),
+        "inner")
+    chk(st.norm(f32(x), f32(u)), mod.norm(tx, tu, k=k64), "norm")
+    chk(st.mobius_sub(f32(x), f32(y)), mod.mobius_sub(tx, ty, k=k64),
+        "mobius_sub")
+    chk(st.mobius_coadd(f32(x), f32(y)), mod.mobius_coadd(tx, ty, k=k64),
+        "mobius_coadd")
+    chk(st.mobius_cosub(f32(x), f32(y)), mod.mobius_cosub(tx, ty, k=k64),
+        "mobius_cosub")
+    chk(st.logmap(f32(x), f32(y)), mod.logmap(tx, ty, k=k64), "logmap")
+    # dist_matmul: x (N, D) vs y (D, M)
+    ym = np.ascontiguousarray(y[:6].T)
+    chk(st.dist_matmul(f32(x), f32(ym)),
+        mod.dist_matmul(tx, torch.tensor(ym), k=k64), "dist_matmul",
+        rtol=2e-4)
+    chk(st.geodesic(f32(t), f32(x), f32(y)),
+        mod.geodesic(tt, tx, ty, k=k64), "geodesic")
+    chk(st.geodesic_unit(f32(t), f32(x), f32(u)),
+        mod.geodesic_unit(tt, tx, tu, k=k64), "geodesic_unit")
+    fns = (lambda a: a * 0.5, lambda a: a + 0.01)
+    chk(st.mobius_fn_apply_chain(f32(x), *fns),
+        mod.mobius_fn_apply_chain(tx, *fns, k=k64),
+        "mobius_fn_apply_chain")
+
+
+def test_logmap_expmap_inverse_at_x(rng):
+    """expmap(x, logmap(x, y)) == y and logmap(x, expmap(x, u)) == u —
+    the at-x identity pair (math_.py:1097-1231)."""
+    x = jnp.asarray(random_ball_points(rng, (12, 8)), jnp.float32)
+    y = jnp.asarray(random_ball_points(rng, (12, 8)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(st.expmap(x, st.logmap(x, y))),
+                               np.asarray(y), rtol=2e-4, atol=2e-5)
+    u = jnp.asarray(rng.standard_normal((12, 8)) * 0.2, jnp.float32)
+    np.testing.assert_allclose(np.asarray(st.logmap(x, st.expmap(x, u))),
+                               np.asarray(u), rtol=2e-4, atol=2e-5)
+
+
+def test_geodesic_endpoints_and_unit_speed(rng):
+    """geodesic(0)=x, geodesic(1)=y; dist(x, geodesic_unit(t, x, u)) = t
+    (unit speed, math_.py:978-1186)."""
+    x = jnp.asarray(random_ball_points(rng, (10, 6)), jnp.float32)
+    y = jnp.asarray(random_ball_points(rng, (10, 6)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(st.geodesic(0.0, x, y)),
+                               np.asarray(x), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.geodesic(1.0, x, y)),
+                               np.asarray(y), rtol=2e-4, atol=1e-5)
+    u = jnp.asarray(rng.standard_normal((10, 6)), jnp.float32)
+    t = 0.37
+    d = st.dist(x, st.geodesic_unit(t, x, u))
+    np.testing.assert_allclose(np.asarray(d), np.full(10, t, np.float32),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_coadd_cancellation_and_dist_matmul_vs_dist(rng):
+    """Ungar right-cancellation pair: (x (+) y) cosub y == x and
+    (x coadd y) (-) y == x; dist_matmul columns equal pairwise dist."""
+    x = jnp.asarray(random_ball_points(rng, (12, 8)), jnp.float32)
+    y = jnp.asarray(random_ball_points(rng, (12, 8)), jnp.float32)
+    got = st.mobius_cosub(st.mobius_add(x, y), y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x),
+                               rtol=2e-4, atol=2e-5)
+    got = st.mobius_sub(st.mobius_coadd(x, y), y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x),
+                               rtol=2e-4, atol=2e-5)
+    ym = jnp.asarray(np.asarray(y[:5]).T)  # (D, 5)
+    dm = st.dist_matmul(x, ym)
+    for j in range(5):
+        want = st.dist(x, jnp.broadcast_to(y[j], x.shape))
+        np.testing.assert_allclose(np.asarray(dm[:, j]), np.asarray(want),
+                                   rtol=2e-3, atol=2e-4, err_msg=f"col {j}")
+
+
+def test_fn_apply_chain_empty_and_composition(rng):
+    """Empty chain is identity; chain(f, g) == fn_apply of g.f without the
+    wrapper's project (math_.py:1374-1428)."""
+    x = jnp.asarray(random_ball_points(rng, (8, 6)), jnp.float32)
+    assert st.mobius_fn_apply_chain(x) is x
+    f = lambda a: a * 0.5  # noqa: E731
+    g = lambda a: a + 0.02  # noqa: E731
+    got = st.mobius_fn_apply_chain(x, f, g)
+    want = st.expmap0(g(f(st.logmap0(x))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)

@@ -240,3 +240,42 @@ def test_one_call_detection_accepts_device_resident_windows():
                                         fetch_inference=False)
     assert none_inf is None
     np.testing.assert_allclose(got_so, want, rtol=1e-5, atol=1e-6)
+
+
+def test_stage_inference_resident_scoring_bitwise():
+    """scorer.stage_inference puts artifact tensors on device once; every
+    staged scorer must then produce BITWISE the same scores as with host
+    numpy inputs (the `load: true` device-resident re-scoring path,
+    round 5). Covers hyperbolic, euclidean, and multivariate tails."""
+    import jax
+
+    rng = np.random.default_rng(31)
+    n, w = 260, 100
+    recons = (rng.uniform(-0.3, 0.3, (n, w)) / np.sqrt(w)).astype(np.float32)
+    true = (rng.uniform(-0.3, 0.3, (n, w)) / np.sqrt(w)).astype(np.float32)
+    critic = rng.standard_normal(n).astype(np.float32)
+    inf = sc.InferenceOutput(recons_signal=recons, true_signal=true,
+                             critic_score=critic)
+    staged = sc.stage_inference(inf)
+    assert isinstance(staged.recons_signal, jax.Array)
+    assert staged.eucl_recons is None and staged.gt_signal is None
+    # idempotent: already-resident tensors pass through untouched
+    again = sc.stage_inference(staged)
+    assert again.recons_signal is staged.recons_signal
+
+    for mode in ("uncertainty", "mult", "rec"):
+        want = sc.score_anomalies_hyperbolic(inf, mode)
+        got = sc.score_anomalies_hyperbolic(staged, mode)
+        np.testing.assert_array_equal(got, want, err_msg=mode)
+
+    want = sc.score_anomalies_euclidean(true, recons, critic,
+                                        rec_error_type="area", comb="mult")
+    got = sc.score_anomalies_euclidean(staged.true_signal,
+                                       staged.recons_signal,
+                                       staged.critic_score,
+                                       rec_error_type="area", comb="mult")
+    np.testing.assert_array_equal(got, want)
+
+    want = sc.score_anomalies_multivariate(inf, "mult", False)
+    got = sc.score_anomalies_multivariate(staged, "mult", False)
+    np.testing.assert_array_equal(got, want)
