@@ -64,6 +64,15 @@ def get_lib():
             ]
             lib.hypad_release.argtypes = [ctypes.POINTER(_HypadResult)]
             lib.hypad_release.restype = None
+            lib.hypad_find_thresholds.restype = None
+            lib.hypad_find_thresholds.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -101,3 +110,27 @@ def prepare_univariate(timestamps, values, interval, window_size=100,
         return windows, targets, x_index, y_index, index
     finally:
         lib.hypad_release(res)
+
+
+def find_thresholds(windows, means, stds, min_z=0, max_z=10):
+    """Native dynamic-threshold engine (native/thresholds.cpp): the
+    reference find_threshold (fmin from every integer z start, last finite
+    cost wins) for a (Wn, L) stack of threshold windows. ``means``/``stds``
+    are the numpy-computed window statistics (numpy's pairwise reductions
+    are not replicated natively). Returns (Wn,) thresholds, or None when
+    the native library is unavailable — callers fall back to the pure-numpy
+    batched Nelder-Mead (bitwise-identical results,
+    tests/test_intervals_batch.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    W = np.ascontiguousarray(windows, dtype=np.float64)
+    m = np.ascontiguousarray(means, dtype=np.float64)
+    s = np.ascontiguousarray(stds, dtype=np.float64)
+    out = np.empty(W.shape[0], np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.hypad_find_thresholds(
+        W.ctypes.data_as(dp), m.ctypes.data_as(dp), s.ctypes.data_as(dp),
+        W.shape[0], W.shape[1], int(min_z), int(max_z),
+        out.ctypes.data_as(dp))
+    return out

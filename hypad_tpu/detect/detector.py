@@ -127,7 +127,9 @@ def detect(params, state_params, test_data, run_path, read_path="",
             params.combination, rec_error=params.rec_error, mesh=mesh,
             fetch_inference=save_artifacts,
             multivariate=is_mv,
-            X_host=test_data.X)
+            X_host=test_data.X,
+            artifact_dtype=getattr(params, "artifact_dtype", "float32"),
+            artifact_set=getattr(params, "artifact_set", "full"))
         # the reference's true_index is the FULL aggregated timeline
         # (SignalDataset.index, anomaly_detection.py:133 via __getitem__'s
         # second element), length n_buckets = N + W — it must cover all

@@ -639,9 +639,24 @@ _detect_device_scores_only = functools.partial(
 ONE_CALL_MAX_WINDOWS = 262144
 
 
+def _apply_artifact_opts(inference, artifact_dtype, artifact_set,
+                         hyperbolic):
+    """Host-side twin of the one-call path's artifact options (used by the
+    chunked fallback): f16-downcast the (N, W) tensors and/or drop
+    eucl_recons/gt_signal for hyperbolic runs."""
+    if hyperbolic and artifact_set == "minimal":
+        inference = inference._replace(eucl_recons=None, gt_signal=None)
+    if artifact_dtype == "float16":
+        inference = InferenceOutput(*(
+            t.astype(np.float16) if t is not None and np.ndim(t) > 1 else t
+            for t in inference))
+    return inference
+
+
 def detect_scores(params, X, hyperbolic, combination, rec_error="point",
                   mesh=None, fetch_inference=True, multivariate=False,
-                  X_host=None):
+                  X_host=None, artifact_dtype="float32",
+                  artifact_set="full"):
     """ONE device program for the whole detection compute: encoder, critic,
     decoder, ball embedding and the full scoring pipeline, returning
     (final_scores, InferenceOutput). The staged equivalents (run_inference +
@@ -665,7 +680,17 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
     arrays are cast to float32 so the traced program and the persisted
     artifacts agree. ``X_host``: optional host copy of X used for the
     inference artifacts — pass it when X is device-resident to avoid a
-    device->host readback of the windows."""
+    device->host readback of the windows.
+
+    ``artifact_dtype`` / ``artifact_set`` (config keys, round 5): the
+    reference-default artifact path is device->host-transfer-bound
+    (~24 MB/call at 20k hyperbolic windows). ``artifact_dtype="float16"``
+    casts the big (N, W) tensors ON DEVICE before the fetch (half the
+    tunnel bytes; critic scores stay f32); ``artifact_set="minimal"``
+    drops ``eucl_recons``/``gt_signal`` from the fetch+file for
+    hyperbolic runs (the hyperbolic scoring variants never read them).
+    Scores returned by THIS call are computed in f32 either way — the
+    options only affect what later ``load: true`` re-scoring sees."""
     if isinstance(X, jax.Array):
         if X.dtype != jnp.float32:
             X = X.astype(jnp.float32)
@@ -689,7 +714,11 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
                 inference.true_signal, inference.recons_signal,
                 inference.critic_score, rec_error_type=rec_error,
                 comb=combination, mesh=mesh)
-        return scores, (inference if fetch_inference else None)
+        if fetch_inference:
+            inference = _apply_artifact_opts(inference, artifact_dtype,
+                                             artifact_set, hyperbolic)
+            return scores, inference
+        return scores, None
     n, w = X.shape
     smooth_window = max(math.trunc(n * 0.01), 1)
     if not fetch_inference:
@@ -702,11 +731,27 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
         params, jnp.asarray(X), hyperbolic, combination, rec_error, w,
         smooth_window, _use_pallas_kde(), mesh=mesh,
         multivariate=multivariate)
+    halve = artifact_dtype == "float16"
+    if halve:
+        # cast the (N, W) tensors ON DEVICE so the tunnel carries half the
+        # bytes; the (N,) critic stays f32 (negligible size, and KDE
+        # re-smoothing is the most rounding-sensitive consumer)
+        outs = tuple(o.astype(jnp.float16) if o.ndim > 1 else o
+                     for o in outs)
+    if hyperbolic and artifact_set == "minimal":
+        outs = outs[:3]  # drop eucl from the transfer entirely
     outs = jax.device_get(outs)
+    if hyperbolic and artifact_set == "minimal":
+        hyper, hyper_x, critic = outs
+        inference = InferenceOutput(recons_signal=hyper, true_signal=hyper_x,
+                                    critic_score=critic)
+        return np.asarray(scores), inference
     if X_host is None:
         X_host = np.asarray(X, np.float32)
     else:
         X_host = np.asarray(X_host, np.float32)
+    if halve:
+        X_host = X_host.astype(np.float16)
     if hyperbolic:
         hyper, hyper_x, critic, eucl = outs
         inference = InferenceOutput(recons_signal=hyper, true_signal=hyper_x,

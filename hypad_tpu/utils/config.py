@@ -53,6 +53,20 @@ DEFAULTS = {
     # their device->host transfer, ~3x faster warm detection) — opt-in
     # divergence, incompatible with load: True
     "save_artifacts": True,
+    # "float32" = reference parity. "float16" halves the persisted bytes
+    # AND the device->host transfer of the big (N, W) inference tensors
+    # (the measured bulk of the save_artifacts detection cost through a
+    # tunneled backend) — opt-in divergence: cached re-scoring then runs
+    # on f16-rounded embeddings (critic scores stay f32; scores from a
+    # fresh run are unaffected)
+    "artifact_dtype": "float32",
+    # "full" = reference parity (persist eucl_recons + gt_signal for
+    # hyperbolic runs, anomaly_detection.py:116-131). "minimal" drops
+    # those two from the transfer+file: the hyperbolic scoring variants
+    # never read them, so load: true re-scoring of hyperbolic combinations
+    # still works; only euclidean re-scoring of a hyperbolic run's
+    # artifacts needs "full"
+    "artifact_set": "full",
     # None = reference behavior: anomaly overlay plot saved for
     # multivariate runs only (utils/anomaly_detection_utils.py:220);
     # True/False force it either way
@@ -83,6 +97,13 @@ EUCLIDEAN_COMBINATIONS = ("mult", "sum", "rec", "critic")
 
 
 def validate(params):
+    if getattr(params, "artifact_dtype", "float32") not in ("float32",
+                                                            "float16"):
+        raise ValueError("artifact_dtype must be 'float32' or 'float16', "
+                         f"got {params.artifact_dtype!r}")
+    if getattr(params, "artifact_set", "full") not in ("full", "minimal"):
+        raise ValueError("artifact_set must be 'full' or 'minimal', "
+                         f"got {params.artifact_set!r}")
     if params.combination not in VALID_COMBINATIONS:
         raise ValueError(
             f"combination {params.combination!r} not in {VALID_COMBINATIONS}")

@@ -147,3 +147,59 @@ def test_metrics_from_confusion_matches_compute_metrics():
     assert a == b
     with pytest.raises(ZeroDivisionError):
         mt.metrics_from_confusion((None, 0, 3, 0), verbose=False)
+
+
+def test_batched_nelder_mead_matches_scipy_fmin():
+    """_fmin_z_batch must reproduce scipy.optimize.fmin on the reference
+    z_cost: same selected x and finite-cost pattern across many windows
+    and all 10 integer starts (the serial find_threshold is the bitwise
+    oracle; the batched tables' prefix-sum stats differ from subset
+    reductions by ~1e-16, so x agreement is to tight tolerance and the
+    resulting THRESHOLDS must agree to 1e-9 relative)."""
+    rng = np.random.default_rng(123)
+    Wn, L = 37, 463
+    W = _score_matrix(rng, Wn, L)
+    thr_batch = iv._find_thresholds_batch(W)
+    for c in range(Wn):
+        want = iv.find_threshold(W[c])
+        np.testing.assert_allclose(thr_batch[c], want, rtol=1e-9,
+                                   err_msg=f"window {c}")
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_find_anomalies_batch_dynamic_parity(seed):
+    """Dynamic-threshold batched driver vs the serial per-cell oracle:
+    final intervals exactly equal across seeds, ragged tail windows, and
+    lower_threshold (VERDICT r4 item 4)."""
+    rng = np.random.default_rng(seed)
+    C, T = 11, 1400 + 37 * seed
+    E = _score_matrix(rng, C, T)
+    idx = np.arange(T) * 21600
+    kw = dict(window_size_portion=0.33, window_step_size_portion=0.1,
+              fixed_threshold=False, lower_threshold=(seed == 2))
+    batch = iv.find_anomalies_batch(E, idx, **kw)
+    per = [iv.find_anomalies(E[c], idx, **kw) for c in range(C)]
+    assert sum(len(p) for p in per) > 0, "degenerate fixture: no intervals"
+    for c, (b, p) in enumerate(zip(batch, per)):
+        assert np.array_equal(b, p), f"cell {c} diverged"
+
+
+def test_dynamic_epilogue_batched_speed():
+    """The batched dynamic epilogue must be within 5x of the batched
+    fixed-threshold epilogue at grid scale (VERDICT r4 item 4 'Done'
+    criterion; the serial fallback it replaces was ~13 ms/cell)."""
+    import time
+
+    rng = np.random.default_rng(7)
+    C, T = 200, 1400
+    E = _score_matrix(rng, C, T)
+    idx = np.arange(T) * 21600
+    kw = dict(window_size_portion=0.33, window_step_size_portion=0.1)
+    t0 = time.time()
+    iv.find_anomalies_batch(E, idx, fixed_threshold=True, **kw)
+    t_fixed = time.time() - t0
+    t0 = time.time()
+    iv.find_anomalies_batch(E, idx, fixed_threshold=False, **kw)
+    t_dyn = time.time() - t0
+    assert t_dyn <= max(5.0 * t_fixed, 2.0), (
+        f"dynamic epilogue {t_dyn:.2f}s vs fixed {t_fixed:.2f}s")
