@@ -280,18 +280,25 @@ def _mesh_constrain(mesh):
     return constrain
 
 
-def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None):
+def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None,
+                   fused_critics=False):
     """Compile-once epoch runner: (state, X, key) -> (state, metrics).
 
     ``mesh``: optional jax.sharding.Mesh with a 'dp' axis; batches get a
     sharding constraint over it so XLA partitions every step across devices.
+    ``fused_critics``: opt-in single-device path that runs each critic step's
+    entire value_and_grad as ONE hand-derived Pallas kernel
+    (train/critic_kernel.py); numerically equivalent, not bitwise (MXU
+    contraction order differs from XLA's fusion choices).
     """
     return jax.jit(
-        _make_epoch_body(lr, hyperbolic, batch_size, _mesh_constrain(mesh)),
+        _make_epoch_body(lr, hyperbolic, batch_size, _mesh_constrain(mesh),
+                         fused_critics=fused_critics),
         donate_argnums=(0,))
 
 
-def _make_epoch_body(lr, hyperbolic, batch_size, constrain, ragged=False):
+def _make_epoch_body(lr, hyperbolic, batch_size, constrain, ragged=False,
+                     fused_critics=False):
     """The un-jitted fused-epoch computation — shared by the sequential
     trainer (build_epoch_fn jits it directly) and the fleet trainer
     (train/fleet.py vmaps it over a stacked signal family).
@@ -330,7 +337,58 @@ def _make_epoch_body(lr, hyperbolic, batch_size, constrain, ragged=False):
         return jax.tree_util.tree_map(
             lambda a, b: jnp.where(valid, a, b), new, old)
 
+    def make_critic_batch_fused(X):
+        """Pallas megakernel critic step (opt-in; see train/critic_kernel.py).
+
+        The generator forwards producing ``x_fake``/``z_enc`` stay in XLA
+        (their gradients are never taken in a critic step); the two critics'
+        forward + GP double-backward + parameter grads collapse into one
+        kernel. Same pregenerated draws, same loss/metric semantics."""
+        from hypad_tpu.train.critic_kernel import critics_fused_grads
+
+        def critic_batch(carry, inp):
+            params, o_cx, o_cz = carry
+            if ragged:
+                idx, key, draws, valid = inp
+            else:
+                idx, key, draws = inp
+            del key  # dropout comes entirely from the pregenerated masks
+            x = constrain(X[idx])
+            gen = _gen_params(params)
+
+            dec_out = decoder_apply(gen["decoder"], draws["z_x"],
+                                    hyperbolic=hyperbolic, training=True,
+                                    lstm_drop_masks=draws["m_dec"])
+            x_fake = dec_out[0] if hyperbolic else dec_out
+            interp_x = draws["a_x"] * x + (1.0 - draws["a_x"]) * x_fake
+            z_enc = encoder_apply(gen["encoder"], x)
+            interp_z = (draws["a_z"] * draws["z_z"]
+                        + (1.0 - draws["a_z"]) * z_enc)
+            bigx = jnp.concatenate([x, x_fake, interp_x])
+            bigz = jnp.concatenate([z_enc, draws["z_z"], interp_z])
+
+            lx, lz, gx, gz = critics_fused_grads(
+                params["critic_x"], params["critic_z"], bigx, bigz,
+                draws["m_cx"], draws["m_cz"])
+
+            new_cx, new_o_cx = opt_cx.update(gx, o_cx, params["critic_x"])
+            new_cz, new_o_cz = opt_cz.update(gz, o_cz, params["critic_z"])
+            new_params = dict(params, critic_x=new_cx, critic_z=new_cz)
+
+            if ragged:
+                new_params, new_o_cx, new_o_cz = _masked(
+                    valid, (new_params, new_o_cx, new_o_cz),
+                    (params, o_cx, o_cz))
+                lx = jnp.where(valid, lx, 0.0)
+                lz = jnp.where(valid, lz, 0.0)
+            return (new_params, new_o_cx, new_o_cz), (lx, lz)
+
+        return critic_batch
+
     def make_critic_batch(X):
+        if fused_critics:
+            return make_critic_batch_fused(X)
+
         def critic_batch(carry, inp):
             params, o_cx, o_cz = carry
             if ragged:
