@@ -48,6 +48,11 @@ extras (all measured in the same run, full-framework coverage):
              ~35 MB/s) + ~1.3 s of 1-core disk write — the round-4 savez
              (was savez_compressed: 7.3 s of zlib) is the fix; async D2H
              measured SLOWER through the tunnel and was rejected
+  detect_f16_20k_wps — same path with artifact_dtype: float16 (opt-in,
+             halves the D2H bytes; documented divergence from the
+             reference's f32 pickles)
+  tunnel_d2h_mbps — raw D2H bandwidth on a 24 MB fetch: the measured
+             physics floor that bounds every artifact-persisting path
   fleet9_detect_* — 9 ragged signals' detection (forward + full scoring)
              in ONE vmapped fleet program (`hypad sweep`'s detection path,
              detect/scorer.detect_scores_fleet), incl. per-call pad+upload;
@@ -127,7 +132,7 @@ def _timed_epochs(tr, state, X, multi_fn, key):
 
 
 def _train_bench(hyperbolic, csv, yahoo, interval, mesh, batch,
-                 spread_key=None):
+                 spread_key=None, fused_critics=False):
     import jax
     import jax.numpy as jnp
 
@@ -145,7 +150,8 @@ def _train_bench(hyperbolic, csv, yahoo, interval, mesh, batch,
         state = tr.init_train_state(params, lr=5e-4, hyperbolic=hyperbolic)
     state = jax.device_put(state, jax.devices()[0])
     multi_fn = tr.build_multi_epoch_fn(5e-4, hyperbolic, batch,
-                                       N_TIMED_EPOCHS, mesh=mesh)
+                                       N_TIMED_EPOCHS, mesh=mesh,
+                                       fused_critics=fused_critics)
     state, epoch_s, spr = _timed_epochs(tr, state, X, multi_fn,
                                         jax.random.PRNGKey(1))
     if spread_key:
@@ -240,6 +246,13 @@ def main():
     a1_csv = os.path.join(data_root, "YAHOO", "A1Benchmark", "real_1.csv")
     data, state, epoch_s = _train_bench(True, a1_csv, True, 1, mesh, batch,
                                         spread_key="a1_hyper_epoch")
+
+    # ---- the same epoch with the critic-step megakernel opt-in
+    # (fused_critics: "full" — train/critic_kernel.py): whole critic-step
+    # body in ONE Pallas kernel; numerically equivalent, not bitwise
+    _, _, mega_epoch_s = _train_bench(True, a1_csv, True, 1, mesh, batch,
+                                      spread_key="megakernel_epoch_s",
+                                      fused_critics="full")
 
     # ---- euclidean NAB training epoch (the other half of the framework)
     nab_csv = os.path.join(data_root, "Twitter_volume_AAPL.csv")
@@ -355,6 +368,31 @@ def main():
     detect_default_20k_wps = _throughput(
         detect_default, len(X20), spread_key="detect_default_20k_wps",
         n_reps=7)
+
+    # raw tunnel D2H bandwidth at the artifact-set size — the denominator
+    # of the detect_default proof: bytes / bandwidth is the hard floor of
+    # any artifact-persisting path, independent of what the program computes
+    _probe = jax.device_put(jnp.zeros((6 * 1024 * 1024,), jnp.float32), dev0)
+    _probe_mb = _probe.size * 4 / 1e6
+    _d2h_s, SPREAD["tunnel_d2h_mbps"], _ = _rep_times(
+        lambda: np.asarray(_probe), lambda a: None, n_reps=5)
+    tunnel_d2h_mbps = _probe_mb / _d2h_s
+    del _probe
+
+    # the float16 artifact opt-in (utils/config.py artifact_dtype; halves
+    # the D2H bytes, documented divergence from the reference's f32 pickles)
+    _artdir16 = tempfile.mkdtemp(prefix="bench_art16_")
+
+    def detect_f16():
+        scores, inf = sc.detect_scores(state.params, X20, True,
+                                       "uncertainty", mesh=mesh,
+                                       fetch_inference=True,
+                                       artifact_dtype="float16")
+        _art.save_inference(_artdir16, inf, np.arange(len(X20) + 100))
+        return scores
+
+    detect_f16_20k_wps = _throughput(
+        detect_f16, len(X20), spread_key="detect_f16_20k_wps", n_reps=7)
 
     # cached re-scoring (`load: true`): artifacts staged on device ONCE
     # (scorer.stage_inference), then the fused scoring program runs
@@ -495,6 +533,7 @@ def main():
     print(
         f"[bench] devices={jax.device_count()} epoch={epoch_s:.4f}s "
         f"eucl_epoch={eucl_epoch_s:.4f}s smap_epoch={smap_epoch_s:.4f}s "
+        f"megakernel_epoch={mega_epoch_s:.4f}s "
         f"mv_one_call={mv_rows_per_s:.0f}rows/s "
         f"mv_resident={mv_resident_rows_per_s:.0f}rows/s "
         f"hyper_scoring={hyper_wps:.0f}w/s "
@@ -502,6 +541,8 @@ def main():
         f"detect_upload={detect_upload_wps:.0f}w/s "
         f"detect_20k={detect_20k_wps:.0f}w/s "
         f"detect_default_20k={detect_default_20k_wps:.0f}w/s "
+        f"detect_f16_20k={detect_f16_20k_wps:.0f}w/s "
+        f"tunnel_d2h={tunnel_d2h_mbps:.1f}MB/s "
         f"grid12={grid12_s:.4f}s "
         f"fleet9_detect={fleet_detect_wps:.0f}w/s "
         f"fleet9_detect_staged={fleet_detect_staged_wps:.0f}w/s "
@@ -518,6 +559,9 @@ def main():
         "unit": "s",
         "vs_baseline": round(REF_EPOCH_SECONDS / epoch_s, 2),
         "extras": {
+            "megakernel_epoch_s": round(mega_epoch_s, 4),
+            "megakernel_vs_baseline": round(REF_EPOCH_SECONDS / mega_epoch_s,
+                                            2),
             "eucl_epoch_s": round(eucl_epoch_s, 4),
             "eucl_vs_baseline": round(REF_EUCL_EPOCH_SECONDS / eucl_epoch_s,
                                       2),
@@ -539,6 +583,8 @@ def main():
             "detect_e2e_upload_wps": round(detect_upload_wps),
             "detect_20k_wps": round(detect_20k_wps),
             "detect_default_20k_wps": round(detect_default_20k_wps),
+            "detect_f16_20k_wps": round(detect_f16_20k_wps),
+            "tunnel_d2h_mbps": round(tunnel_d2h_mbps, 1),
             "rescore_resident_20k_wps": round(rescore_resident_20k_wps),
             "eucl_dtw_detect_20k_wps": round(eucl_dtw_detect_20k_wps),
             "grid12_detect_s": round(grid12_s, 4),

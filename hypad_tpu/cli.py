@@ -124,6 +124,7 @@ def cmd_train(params, config_path):
             seed=params.seed, mesh=mesh, start_epoch=start_epoch,
             log_cb=log_cb,
             checkpoint_cb=lambda e, s: ck.save_state(path, s, e),
+            fused_critics=getattr(params, "fused_critics", False),
         )
     wall = time.time() - t0
     trained = max(params.epochs - start_epoch, 1)

@@ -289,8 +289,15 @@ def build_epoch_fn(lr, hyperbolic, batch_size, mesh=None,
     ``fused_critics``: opt-in single-device path that runs each critic step's
     entire value_and_grad as ONE hand-derived Pallas kernel
     (train/critic_kernel.py); numerically equivalent, not bitwise (MXU
-    contraction order differs from XLA's fusion choices).
+    contraction order differs from XLA's fusion choices). ``"full"`` also
+    fuses the critic step's gradient-free generator forwards into the same
+    kernel (measured 1.39x the hyperbolic epoch on v5e, PROFILE.md).
     """
+    if fused_critics and mesh is not None and mesh.devices.size > 1:
+        raise ValueError(
+            "fused_critics is a single-device path (the megakernel is not "
+            "shard_map'd over the dp mesh); use the default critic step "
+            "when training over multiple devices")
     return jax.jit(
         _make_epoch_body(lr, hyperbolic, batch_size, _mesh_constrain(mesh),
                          fused_critics=fused_critics),
@@ -340,11 +347,15 @@ def _make_epoch_body(lr, hyperbolic, batch_size, constrain, ragged=False,
     def make_critic_batch_fused(X):
         """Pallas megakernel critic step (opt-in; see train/critic_kernel.py).
 
-        The generator forwards producing ``x_fake``/``z_enc`` stay in XLA
-        (their gradients are never taken in a critic step); the two critics'
-        forward + GP double-backward + parameter grads collapse into one
-        kernel. Same pregenerated draws, same loss/metric semantics."""
-        from hypad_tpu.train.critic_kernel import critics_fused_grads
+        The two critics' forward + GP double-backward + parameter grads
+        collapse into one kernel. With ``fused_critics="full"`` the
+        generator forwards producing ``x_fake``/``z_enc`` (gradient-free in
+        a critic step) fuse into the SAME kernel; with ``True`` they stay in
+        XLA. Same pregenerated draws, same loss/metric semantics."""
+        from hypad_tpu.train.critic_kernel import (
+            critic_step_fused_full,
+            critics_fused_grads,
+        )
 
         def critic_batch(carry, inp):
             params, o_cx, o_cz = carry
@@ -354,22 +365,25 @@ def _make_epoch_body(lr, hyperbolic, batch_size, constrain, ragged=False,
                 idx, key, draws = inp
             del key  # dropout comes entirely from the pregenerated masks
             x = constrain(X[idx])
-            gen = _gen_params(params)
 
-            dec_out = decoder_apply(gen["decoder"], draws["z_x"],
-                                    hyperbolic=hyperbolic, training=True,
-                                    lstm_drop_masks=draws["m_dec"])
-            x_fake = dec_out[0] if hyperbolic else dec_out
-            interp_x = draws["a_x"] * x + (1.0 - draws["a_x"]) * x_fake
-            z_enc = encoder_apply(gen["encoder"], x)
-            interp_z = (draws["a_z"] * draws["z_z"]
-                        + (1.0 - draws["a_z"]) * z_enc)
-            bigx = jnp.concatenate([x, x_fake, interp_x])
-            bigz = jnp.concatenate([z_enc, draws["z_z"], interp_z])
-
-            lx, lz, gx, gz = critics_fused_grads(
-                params["critic_x"], params["critic_z"], bigx, bigz,
-                draws["m_cx"], draws["m_cz"])
+            if fused_critics == "full":
+                lx, lz, gx, gz = critic_step_fused_full(
+                    params, x, draws, hyperbolic)
+            else:
+                gen = _gen_params(params)
+                dec_out = decoder_apply(gen["decoder"], draws["z_x"],
+                                        hyperbolic=hyperbolic, training=True,
+                                        lstm_drop_masks=draws["m_dec"])
+                x_fake = dec_out[0] if hyperbolic else dec_out
+                interp_x = draws["a_x"] * x + (1.0 - draws["a_x"]) * x_fake
+                z_enc = encoder_apply(gen["encoder"], x)
+                interp_z = (draws["a_z"] * draws["z_z"]
+                            + (1.0 - draws["a_z"]) * z_enc)
+                bigx = jnp.concatenate([x, x_fake, interp_x])
+                bigz = jnp.concatenate([z_enc, draws["z_z"], interp_z])
+                lx, lz, gx, gz = critics_fused_grads(
+                    params["critic_x"], params["critic_z"], bigx, bigz,
+                    draws["m_cx"], draws["m_cz"])
 
             new_cx, new_o_cx = opt_cx.update(gx, o_cx, params["critic_x"])
             new_cz, new_o_cz = opt_cz.update(gz, o_cz, params["critic_z"])
@@ -552,7 +566,7 @@ def _make_epoch_body(lr, hyperbolic, batch_size, constrain, ragged=False,
 
 
 def build_multi_epoch_fn(lr, hyperbolic, batch_size, epochs_per_call,
-                         mesh=None):
+                         mesh=None, fused_critics=False):
     """Fuse ``epochs_per_call`` epochs into ONE device program via lax.scan.
 
     On remote/tunneled accelerators the per-call host round-trip dominates a
@@ -560,7 +574,8 @@ def build_multi_epoch_fn(lr, hyperbolic, batch_size, epochs_per_call,
     with the reference's checkpoint cadence (train.py:381), so no extra host
     syncs are introduced. Returns (state, stacked per-epoch metrics).
     """
-    single = build_epoch_fn(lr, hyperbolic, batch_size, mesh=mesh)
+    single = build_epoch_fn(lr, hyperbolic, batch_size, mesh=mesh,
+                            fused_critics=fused_critics)
 
     def multi(state, X, key):
         def body(st, k):
@@ -580,7 +595,7 @@ def build_multi_epoch_fn(lr, hyperbolic, batch_size, epochs_per_call,
 def train_tadgan(state: TrainState, X: np.ndarray, *, lr, hyperbolic,
                  batch_size, n_epochs, seed=0, mesh=None,
                  checkpoint_cb=None, log_cb=None, start_epoch=0,
-                 epochs_per_call=10):
+                 epochs_per_call=10, fused_critics=False):
     """Run the full training schedule. ``X``: (N, W) float32 windows.
 
     ``checkpoint_cb(epoch, state)`` fires every 10 epochs and at the end
@@ -611,10 +626,12 @@ def train_tadgan(state: TrainState, X: np.ndarray, *, lr, hyperbolic,
     def get_fn(n):
         if n not in fns:
             if n == 1:
-                fns[n] = build_epoch_fn(lr, hyperbolic, batch_size, mesh=mesh)
+                fns[n] = build_epoch_fn(lr, hyperbolic, batch_size, mesh=mesh,
+                                        fused_critics=fused_critics)
             else:
                 fns[n] = build_multi_epoch_fn(lr, hyperbolic, batch_size, n,
-                                              mesh=mesh)
+                                              mesh=mesh,
+                                              fused_critics=fused_critics)
         return fns[n]
 
     for chunk in boundaries:

@@ -60,6 +60,13 @@ DEFAULTS = {
     # on f16-rounded embeddings (critic scores stay f32; scores from a
     # fresh run are unaffected)
     "artifact_dtype": "float32",
+    # False = the default XLA critic step (bitwise-stable vs the parity
+    # studies). "full" runs each critic step's entire body — generator
+    # forwards + both critics' WGAN-GP value_and_grad — as ONE hand-derived
+    # Pallas kernel (train/critic_kernel.py; measured 1.39x the hyperbolic
+    # epoch on v5e). True = critics-only fusion. Numerically equivalent,
+    # not bitwise; single-device only
+    "fused_critics": False,
     # "full" = reference parity (persist eucl_recons + gt_signal for
     # hyperbolic runs, anomaly_detection.py:116-131). "minimal" drops
     # those two from the transfer+file: the hyperbolic scoring variants
@@ -101,6 +108,9 @@ def validate(params):
                                                             "float16"):
         raise ValueError("artifact_dtype must be 'float32' or 'float16', "
                          f"got {params.artifact_dtype!r}")
+    if getattr(params, "fused_critics", False) not in (False, True, "full"):
+        raise ValueError("fused_critics must be false, true, or 'full', "
+                         f"got {params.fused_critics!r}")
     if getattr(params, "artifact_set", "full") not in ("full", "minimal"):
         raise ValueError("artifact_set must be 'full' or 'minimal', "
                          f"got {params.artifact_set!r}")

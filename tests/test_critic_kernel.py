@@ -94,6 +94,56 @@ def test_fused_matches_autodiff(hyperbolic):
 
 
 @pytest.mark.parametrize("hyperbolic", [False, True])
+def test_full_megakernel_matches_autodiff(hyperbolic):
+    """The FULL variant (generator forwards fused in-kernel too) matches
+    the same autodiff reference end to end — LSTM T=1 cells, decoder
+    dropout, Mobius head, interps, and both critics' grads."""
+    from hypad_tpu.train.critic_kernel import critic_step_fused_full
+
+    key = jax.random.PRNGKey(11 if hyperbolic else 12)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = init_tadgan(k1, signal_shape=W, hyperbolic=hyperbolic)
+    x = jax.random.uniform(k2, (B, W), minval=-1.0, maxval=1.0)
+    draws = _draws(k3, hyperbolic)
+
+    lx_r, lz_r, gx_r, gz_r = _autodiff_reference(params, x, draws, hyperbolic)
+    lx_f, lz_f, gx_f, gz_f = critic_step_fused_full(params, x, draws,
+                                                    hyperbolic)
+
+    np.testing.assert_allclose(lx_f, lx_r, rtol=5e-5, atol=2e-6)
+    np.testing.assert_allclose(lz_f, lz_r, rtol=5e-5, atol=2e-6)
+    for name, (a, b) in {
+        "gx": (gx_f, gx_r), "gz": (gz_f, gz_r),
+    }.items():
+        for (path, la), lb in zip(jax.tree_util.tree_leaves_with_path(a),
+                                  jax.tree_util.tree_leaves(b)):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=1e-4, atol=1e-6,
+                err_msg=f"{name}{jax.tree_util.keystr(path)}")
+
+
+def test_multi_device_mesh_rejected():
+    """The megakernel is single-device; a >1-device dp mesh must fail fast
+    rather than silently compute unsharded."""
+    from hypad_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh("all")
+    if mesh is None or mesh.devices.size <= 1:
+        pytest.skip("needs a multi-device mesh (conftest forces 8)")
+    with pytest.raises(ValueError, match="single-device"):
+        tr.build_epoch_fn(0.005, True, 16, mesh=mesh, fused_critics="full")
+
+
+def test_config_key_validates():
+    from hypad_tpu.utils.config import load_config
+
+    with pytest.raises(ValueError, match="fused_critics"):
+        load_config({"signal": "nyc_taxi", "fused_critics": "sideways"})
+    p = load_config({"signal": "nyc_taxi", "fused_critics": "full"})
+    assert p.fused_critics == "full"
+
+
+@pytest.mark.parametrize("hyperbolic", [False, True])
 def test_fused_epoch_tracks_default(hyperbolic):
     """One full fused-critic epoch stays numerically on the default epoch's
     trajectory (same draws by construction — both paths share the epoch

@@ -64,7 +64,7 @@ def main():
         state = jax.device_put(state, dev0)
         key = jax.device_put(jax.random.PRNGKey(2), dev0)
 
-        for fused in (False, True):
+        for fused in (False, True, "full"):
             fn = build(hyperbolic, fused)
             st = jax.tree_util.tree_map(jnp.copy, state)
             st, m = fn(st, X, key)             # compile + warm
@@ -75,8 +75,8 @@ def main():
                 st, m = fn(st, X, key)
                 last = float(m["decoder_loss"][-1])
                 ts.append(time.time() - t0)
-            name = ("hyper" if hyperbolic else "eucl") + (
-                "_fused" if fused else "_default")
+            tag = {False: "_default", True: "_fused", "full": "_full"}[fused]
+            name = ("hyper" if hyperbolic else "eucl") + tag
             per_epoch = min(ts) / args.epochs
             results[name] = per_epoch
             print(f"{name:16s} {per_epoch*1e3:8.3f} ms/epoch "
@@ -84,9 +84,11 @@ def main():
                   f"last_loss={last:.4f})")
 
     for mode in ("hyper", "eucl"):
-        d, f = results[f"{mode}_default"], results[f"{mode}_fused"]
-        print(f"{mode}: fused is {d / f:.2f}x default "
-              f"({d*1e3:.3f} -> {f*1e3:.3f} ms/epoch)")
+        d = results[f"{mode}_default"]
+        for tag in ("fused", "full"):
+            f = results[f"{mode}_{tag}"]
+            print(f"{mode}: {tag} is {d / f:.2f}x default "
+                  f"({d*1e3:.3f} -> {f*1e3:.3f} ms/epoch)")
 
 
 if __name__ == "__main__":
