@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import math
+import weakref
 from typing import NamedTuple, Optional
 
 import jax
@@ -923,6 +924,37 @@ def _fleet_canonical_pad(stacked_params, Xs, n_real, smooth, ndev=1):
     return stacked_params, Xs, n_real, smooth
 
 
+# One-entry memo for the canonical-padded staging. The pad itself is two
+# jitted programs (stack + param tree), but dispatching them PER CALL costs
+# ~10-30 ms of tunnel round-trips on top of the ~51 ms fleet program
+# (tools/fleet81_probe.py: exact staged 1.69M w/s vs canonical-per-call
+# 1.46M at S=81) — for the dominant usage (a sweep or bench loop re-scoring
+# the SAME staged family) the padded device arrays are reusable verbatim.
+# Keyed by the identity of the staged stack + first param leaf (validated
+# via weakrefs, so a recycled id() can never alias) + the ragged-length
+# bytes; one entry only, so at most one stale padded stack (~60 MB HBM at
+# S=81) is ever pinned, and any miss clears it.
+_CANON_MEMO: dict = {}
+
+
+def _canonical_pad_cached(stacked_params, Xs, n_real, smooth, ndev=1):
+    leaves = jax.tree_util.tree_leaves(stacked_params)
+    anchor = leaves[0] if leaves else None
+    if not (isinstance(Xs, jax.Array) and isinstance(anchor, jax.Array)):
+        return _fleet_canonical_pad(stacked_params, Xs, n_real, smooth, ndev)
+    key = (id(Xs), id(anchor), np.asarray(n_real).tobytes(),
+           np.asarray(smooth).tobytes(), ndev)
+    hit = _CANON_MEMO.get(key)
+    if hit is not None:
+        xs_ref, p_ref, val = hit
+        if xs_ref() is Xs and p_ref() is anchor:
+            return val
+    val = _fleet_canonical_pad(stacked_params, Xs, n_real, smooth, ndev)
+    _CANON_MEMO.clear()
+    _CANON_MEMO[key] = (weakref.ref(Xs), weakref.ref(anchor), val)
+    return val
+
+
 # Canonical padding perturbs reduction tilings by ~1 ulp; through the
 # z-score stages that turns the exact path's EXACT ZEROS (clip boundaries,
 # flat score runs) into ~1e-6 residue, which find_anomalies' per-window
@@ -1098,7 +1130,7 @@ def detect_scores_fleet(stacked_params, X_list, hyperbolic, combination,
     ndev = int(mesh.devices.size) if mesh is not None else 1
     Xs, n_real, smooth = _fleet_stage(X_list, staged, canonical, ndev)
     if canonical:
-        stacked_params, Xs, n_real, smooth = _fleet_canonical_pad(
+        stacked_params, Xs, n_real, smooth = _canonical_pad_cached(
             stacked_params, Xs, n_real, smooth, ndev)
     width = Xs.shape[2]
 
@@ -1408,7 +1440,7 @@ def detect_scores_fleet_grid(stacked_params, X_list, hyperbolic,
     ndev = int(mesh.devices.size) if mesh is not None else 1
     Xs, n_real, smooth = _fleet_stage(X_list, staged, canonical, ndev)
     if canonical:
-        stacked_params, Xs, n_real, smooth = _fleet_canonical_pad(
+        stacked_params, Xs, n_real, smooth = _canonical_pad_cached(
             stacked_params, Xs, n_real, smooth, ndev)
     width = Xs.shape[2]
 

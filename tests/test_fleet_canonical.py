@@ -264,6 +264,49 @@ def test_two_families_share_one_compiled_program():
     assert sc._detect_fleet_grid_device._cache_size() == size_after_a
 
 
+def test_canonical_pad_memo_reuses_staged_family():
+    """Re-scoring the SAME staged (params, stack) must reuse the padded
+    device arrays verbatim (the per-call pad dispatch chain measured
+    ~10-30 ms of tunnel round-trips at S=81, tools/fleet81_probe.py), and
+    a different family must miss and repad."""
+    import jax.numpy as jnp
+
+    stacked, X_list = _family((210, 150, 90), False)
+    n_max = max(len(x) for x in X_list)
+    Xs = np.zeros((len(X_list), n_max, W), np.float32)
+    for i, x in enumerate(X_list):
+        Xs[i, : len(x)] = x
+    staged = (jnp.asarray(Xs),
+              np.asarray([len(x) for x in X_list], np.int32))
+
+    sc._CANON_MEMO.clear()
+    first = sc.detect_scores_fleet(stacked, X_list, False, "mult",
+                                   staged=staged)
+    assert len(sc._CANON_MEMO) == 1
+    (entry,) = sc._CANON_MEMO.values()
+    padded_stack_1 = entry[2][1]
+    second = sc.detect_scores_fleet(stacked, X_list, False, "mult",
+                                    staged=staged)
+    (entry2,) = sc._CANON_MEMO.values()
+    assert entry2[2][1] is padded_stack_1          # verbatim reuse
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a different staged family invalidates (one-entry memo)
+    stacked_b, X_b = _family((240, 230), False, seed0=41)
+    Xs_b = np.zeros((2, 240, W), np.float32)
+    for i, x in enumerate(X_b):
+        Xs_b[i, : len(x)] = x
+    staged_b = (jnp.asarray(Xs_b), np.asarray([240, 230], np.int32))
+    want_b = sc.detect_scores_fleet(stacked_b, X_b, False, "mult")
+    got_b = sc.detect_scores_fleet(stacked_b, X_b, False, "mult",
+                                   staged=staged_b)
+    (entry3,) = sc._CANON_MEMO.values()
+    assert entry3[2][1] is not padded_stack_1
+    for g, w in zip(got_b, want_b):
+        np.testing.assert_allclose(g, w, rtol=3e-4, atol=7e-5)
+
+
 def test_snap_noise_restores_exact_zeros():
     """Canonical tiling noise turns the exact path's EXACT ZEROS into ~ulp
     residue, which find_anomalies' per-window mean+4sigma thresholds
