@@ -371,11 +371,20 @@ def main():
 
     # raw tunnel D2H bandwidth at the artifact-set size — the denominator
     # of the detect_default proof: bytes / bandwidth is the hard floor of
-    # any artifact-persisting path, independent of what the program computes
+    # any artifact-persisting path, independent of what the program computes.
+    # A FRESH device array is fetched each rep: jax.Array caches its host
+    # copy after the first np.asarray, so re-fetching the same array times
+    # the cache (measured 8e6 "MB/s"), not the tunnel
     _probe = jax.device_put(jnp.zeros((6 * 1024 * 1024,), jnp.float32), dev0)
     _probe_mb = _probe.size * 4 / 1e6
+    _ctr = [0.0]
+
+    def _fresh_fetch():
+        _ctr[0] += 1.0
+        return np.asarray(_probe + _ctr[0])
+
     _d2h_s, SPREAD["tunnel_d2h_mbps"], _ = _rep_times(
-        lambda: np.asarray(_probe), lambda a: None, n_reps=5)
+        _fresh_fetch, lambda a: None, n_reps=5)
     tunnel_d2h_mbps = _probe_mb / _d2h_s
     del _probe
 
