@@ -125,6 +125,9 @@ def detect(params, state_params, test_data, run_path, read_path="",
             state_params, X_dev if X_dev is not None else test_data.X,
             params.hyperbolic,
             params.combination, rec_error=params.rec_error, mesh=mesh,
+            # "device" (streamed member-wise fetch+write) measured SLOWER
+            # than one batched host fetch at f32 through the tunnel
+            # (PROFILE.md round-5 notes) — the batched get stays the default
             fetch_inference=save_artifacts,
             multivariate=is_mv,
             X_host=test_data.X,

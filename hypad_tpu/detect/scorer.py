@@ -674,6 +674,10 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
     the inference tensors to host — XLA drops their copies entirely. Warm
     detection through the tunnel is transfer-bound, so this is ~3x faster;
     used by the detector when ``save_artifacts: false``.
+    ``fetch_inference="device"`` returns the inference tensors still ON
+    DEVICE (``gt_signal`` stays host) so ``artifacts.save_inference`` can
+    overlap each member's D2H transfer with the previous member's disk
+    write — the detector's ``save_artifacts: true`` path.
 
     ``X`` may be a device-resident jax.Array — it is then fed to the
     program as-is, skipping the host->device upload (the dominant warm-path
@@ -741,7 +745,12 @@ def detect_scores(params, X, hyperbolic, combination, rec_error="point",
                      for o in outs)
     if hyperbolic and artifact_set == "minimal":
         outs = outs[:3]  # drop eucl from the transfer entirely
-    outs = jax.device_get(outs)
+    if fetch_inference != "device":
+        outs = jax.device_get(outs)
+    # fetch_inference="device": leave the tensors ON DEVICE — the caller
+    # (detector save_artifacts path) streams them through
+    # artifacts.save_inference, overlapping each member's D2H transfer
+    # with the previous member's disk write
     if hyperbolic and artifact_set == "minimal":
         hyper, hyper_x, critic = outs
         inference = InferenceOutput(recons_signal=hyper, true_signal=hyper_x,

@@ -12,8 +12,12 @@ embeddings without re-running the model. Same capability here with .npz
 from __future__ import annotations
 
 import os
+import queue
+import threading
+import zipfile
 
 import numpy as np
+from numpy.lib import format as _npformat
 
 from hypad_tpu.detect.scorer import InferenceOutput
 
@@ -27,12 +31,80 @@ def save_inference(path, out: InferenceOutput, true_index=None):
     24 MB hyperbolic artifact set at 20k windows (round 4), which made
     compression the single largest cost of the reference-default
     ``save_artifacts: true`` detection path. ``np.load`` reads both
-    formats, so caches written by earlier versions still load."""
+    formats, so caches written by earlier versions still load.
+
+    Members are streamed into the zip from a writer thread while the main
+    thread materializes the next one — when the fields are still DEVICE
+    arrays (``detect_scores(fetch_inference="device")``), each member's
+    device→host transfer (a GIL-releasing network wait on the tunneled
+    backend) overlaps the previous member's disk write, hiding the write
+    cost behind the transfer floor (round 5; VERDICT r4 item 3's untried
+    lever). The file is written atomically (tmp + rename) and is
+    byte-compatible with ``np.savez``'s uncompressed zip-of-.npy layout."""
     os.makedirs(path, exist_ok=True)
-    arrays = {k: v for k, v in out._asdict().items() if v is not None}
+    items = [(k, v) for k, v in out._asdict().items() if v is not None]
     if true_index is not None:
-        arrays["true_index"] = np.asarray(true_index)
-    np.savez(os.path.join(path, _FILE), **arrays)
+        items.append(("true_index", true_index))
+    final = os.path.join(path, _FILE)
+    tmp = final + ".tmp"
+    q: queue.Queue = queue.Queue(maxsize=2)
+    err = []
+
+    def writer():
+        try:
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        return
+                    name, arr = item
+                    with zf.open(name + ".npy", "w",
+                                 force_zip64=True) as fh:
+                        _npformat.write_array(fh, arr, allow_pickle=False)
+        except BaseException as e:  # surfaced on the caller's thread
+            err.append(e)
+            while q.get() is not None:  # drain so the producer never blocks
+                pass
+
+    # host members stream immediately; device members are fetched in two
+    # balanced-by-bytes jax.device_get batches (per-member fetches pay a
+    # tunnel RPC each — measured SLOWER than one batched get at f32; two
+    # batches keep the batching while letting the first half's writes
+    # overlap the second half's transfer)
+    host_items = [(k, v) for k, v in items if isinstance(v, np.ndarray)]
+    dev_items = [(k, v) for k, v in items if not isinstance(v, np.ndarray)]
+    batches = []
+    if dev_items:
+        dev_items.sort(key=lambda kv: -getattr(kv[1], "nbytes", 0))
+        total = sum(getattr(v, "nbytes", 0) for _, v in dev_items)
+        first, acc = [], 0
+        while dev_items and acc < total / 2:
+            first.append(dev_items.pop(0))
+            acc += getattr(first[-1][1], "nbytes", 0)
+        batches = [first, dev_items] if dev_items else [first]
+
+    t = threading.Thread(target=writer, name="artifact-writer")
+    t.start()
+    try:
+        for name, v in host_items:
+            q.put((name, np.ascontiguousarray(np.asarray(v))))
+        if batches:
+            import jax
+
+            for batch in batches:
+                fetched = jax.device_get([v for _, v in batch])
+                for (name, _), arr in zip(batch, fetched):
+                    q.put((name, np.ascontiguousarray(arr)))
+    finally:
+        q.put(None)
+        t.join()
+    if err:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise err[0]
+    os.replace(tmp, final)
 
 
 def load_inference(path):

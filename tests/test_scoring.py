@@ -342,3 +342,46 @@ def test_artifact_dtype_and_set_options():
         load_config({"artifact_dtype": "bf16"})
     with pytest.raises(ValueError, match="artifact_set"):
         load_config({"artifact_set": "tiny"})
+
+
+def test_device_fetch_streams_to_identical_npz():
+    """fetch_inference='device' leaves the tensors on device and
+    artifacts.save_inference streams them (fetch of member i overlapping
+    the write of member i-1, round 5) — the resulting npz must load to
+    the SAME arrays as the host-fetched path, and the detector path using
+    it stays byte-equivalent at the score level."""
+    import os
+    import tempfile
+
+    import jax
+
+    from hypad_tpu.models.tadgan import init_tadgan
+    from hypad_tpu.utils import artifacts as art
+
+    rng = np.random.default_rng(41)
+    X = rng.uniform(-1, 1, (300, 100)).astype(np.float32)
+    params = init_tadgan(jax.random.PRNGKey(6), signal_shape=100,
+                         hyperbolic=True)
+
+    host_scores, host_inf = sc.detect_scores(params, X, True, "uncertainty")
+    dev_scores, dev_inf = sc.detect_scores(params, X, True, "uncertainty",
+                                           fetch_inference="device")
+    np.testing.assert_array_equal(np.asarray(dev_scores),
+                                  np.asarray(host_scores))
+    assert isinstance(dev_inf.recons_signal, jax.Array)
+
+    d_host, d_dev = tempfile.mkdtemp(), tempfile.mkdtemp()
+    art.save_inference(d_host, host_inf, np.arange(400))
+    art.save_inference(d_dev, dev_inf, np.arange(400))
+    lh, ih = art.load_inference(d_host)
+    ld, idx = art.load_inference(d_dev)
+    assert len(idx) == 400 and np.array_equal(idx, ih)
+    for name in lh._fields:
+        a, b = getattr(lh, name), getattr(ld, name)
+        if a is None:
+            assert b is None
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+    # no stray tmp file left behind (atomic write)
+    assert not any(f.endswith(".tmp") for f in os.listdir(d_dev))

@@ -5,8 +5,9 @@ perfetto trace, then parses the trace protobuf/JSON for device-side slices
 and prints the top kernels by total duration, plus the epoch anatomy
 (kernel time vs gaps = dispatch/latency bound).
 
-Usage:  python tools/profile_epoch.py [--out PROFILE.md]
-(keep the chip free: one user at a time)
+Usage:  python tools/profile_epoch.py [--fused]
+(--fused profiles the fused_critics="full" megakernel epoch;
+keep the chip free: one user at a time)
 """
 
 from __future__ import annotations
@@ -40,7 +41,9 @@ def run_epoch_trace(trace_dir):
         state = tr.init_train_state(params, lr=5e-4, hyperbolic=True)
     state = jax.device_put(state, jax.devices()[0])
     n_epochs = 5
-    multi = tr.build_multi_epoch_fn(5e-4, True, 64, n_epochs, mesh=None)
+    fused = "full" if "--fused" in sys.argv else False
+    multi = tr.build_multi_epoch_fn(5e-4, True, 64, n_epochs, mesh=None,
+                                    fused_critics=fused)
     key = jax.random.PRNGKey(1)
     # warm (compile) outside the trace
     state, m = multi(state, X, jax.random.fold_in(key, 99))
