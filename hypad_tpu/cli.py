@@ -363,7 +363,8 @@ def cmd_sweep(params, config_path, signals=None, seeds=None,
                 seed=params.seed, mesh=mesh, log_cb=log_cb,
                 checkpoint_cb=ckpt_cb, return_staged=True,
                 seeds=([sd for (_, sd) in pairs] if seeds is not None
-                       else None), canonical=canonical)
+                       else None), canonical=canonical,
+                fused_critics=getattr(params, "fused_critics", False))
         wall = time.time() - t0
         print(f"sweep training wall-clock: {wall:.2f}s for {len(per)} "
               f"models x {params.epochs} epochs "

@@ -98,15 +98,27 @@ def _fleet_constrain(mesh):
 
 
 def build_fleet_epoch_fn(lr, hyperbolic, batch_size, ragged=False,
-                         mesh=None):
+                         mesh=None, fused_critics=False):
     """Compile-once fleet epoch: (states, Xs, keys[, n_real]) -> (states,
     metrics), everything carrying a leading signal axis S.
 
     ``keys``: (S, 2) uint32 — identical rows reproduce the sequential
     trainer's same-seed-per-signal semantics. ``metrics`` values are (S,).
+
+    ``fused_critics``: the trainer's critic-step Pallas megakernel opt-in
+    — vmap lowers the grid=() kernel to a grid-S loop, so the whole
+    family's critic steps stay one dispatch per scan step (measured
+    compiled + loss-matching under vmap on v5e; single-device only, like
+    the sequential opt-in).
     """
+    if fused_critics and mesh is not None and mesh.devices.size > 1:
+        raise ValueError(
+            "fused_critics is a single-device path (the megakernel is not "
+            "shard_map'd); use the default critic step on a multi-device "
+            "mesh")
     body = _make_epoch_body(lr, hyperbolic, batch_size,
-                            constrain=lambda b: b, ragged=ragged)
+                            constrain=lambda b: b, ragged=ragged,
+                            fused_critics=fused_critics)
     vmapped = jax.vmap(body)
     constrain = _fleet_constrain(mesh)
 
@@ -124,7 +136,7 @@ def build_fleet_epoch_fn(lr, hyperbolic, batch_size, ragged=False,
 
 def build_fleet_multi_epoch_fn(lr, hyperbolic, batch_size, epochs_per_call,
                                ragged=False, mesh=None,
-                               per_signal_keys=False):
+                               per_signal_keys=False, fused_critics=False):
     """Fuse ``epochs_per_call`` fleet epochs into one device program
     (same host-round-trip amortization as ``build_multi_epoch_fn``).
 
@@ -133,7 +145,7 @@ def build_fleet_multi_epoch_fn(lr, hyperbolic, batch_size, epochs_per_call,
     signal's per-epoch keys are its own ``jax.random.split``, exactly the
     stream a sequential ``train_tadgan(seed=seed_i)`` run would draw."""
     single = build_fleet_epoch_fn(lr, hyperbolic, batch_size, ragged=ragged,
-                                  mesh=mesh)
+                                  mesh=mesh, fused_critics=fused_critics)
 
     def _epoch_keys(key, n_signals):
         """(E, S, 2) per-epoch per-signal keys from a (2,) or (S, 2) key."""
@@ -207,7 +219,8 @@ def _single_epoch_sliced(fn, args):
 def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
                 seed=0, mesh=None, checkpoint_cb=None, log_cb=None,
                 start_epoch=0, epochs_per_call=10, ragged=None,
-                return_staged=False, seeds=None, canonical=False):
+                return_staged=False, seeds=None, canonical=False,
+                fused_critics=False):
     """Train S signals' models jointly in fused fleet programs.
 
     ``states``: stacked TrainState (leading axis S, see ``stack_states``).
@@ -250,6 +263,11 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
     ``staged=``). ``Xs`` may carry mesh-pad dummy rows past the first
     ``len(X_list)`` signals; ``n_real`` covers the real signals only.
 
+    ``fused_critics``: False | True | "full" — the trainer's critic-step
+    Pallas megakernel opt-in, vmapped over the family (single-device only:
+    raises at entry on a >1-device mesh; "full" also fuses the generator
+    forwards). Numerically equivalent per signal, not bitwise.
+
     ``canonical``: pad the window axis to the detection-side rung ladder
     (detect/scorer.FLEET_N_RUNGS) and the signal axis up the
     FLEET_S_RUNGS ladder (mesh-divisible) with masked dummy signals, so
@@ -263,6 +281,13 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
     ``return_staged`` stack comes back already canonical, making
     detection's own canonical pad a no-op.
     """
+    if fused_critics and mesh is not None and mesh.devices.size > 1:
+        # fail BEFORE run-dir side effects and the state/window upload —
+        # the builder-level guard would only fire at the first chunk
+        raise ValueError(
+            "fused_critics is a single-device path (the megakernel is not "
+            "shard_map'd); use the default critic step on a multi-device "
+            "mesh")
     lens = {x.shape[0] for x in X_list}
     S = len(X_list)
     n_pad = 0
@@ -346,11 +371,13 @@ def train_fleet(states, X_list, *, lr, hyperbolic, batch_size, n_epochs,
         if n not in fns:
             if n == 1:
                 fns[n] = build_fleet_epoch_fn(
-                    lr, hyperbolic, batch_size, ragged=ragged, mesh=mesh)
+                    lr, hyperbolic, batch_size, ragged=ragged, mesh=mesh,
+                    fused_critics=fused_critics)
             else:
                 fns[n] = build_fleet_multi_epoch_fn(
                     lr, hyperbolic, batch_size, n, ragged=ragged, mesh=mesh,
-                    per_signal_keys=seeds is not None)
+                    per_signal_keys=seeds is not None,
+                    fused_critics=fused_critics)
         return fns[n]
 
     S_total = Xs.shape[0]

@@ -65,7 +65,9 @@ DEFAULTS = {
     # forwards + both critics' WGAN-GP value_and_grad — as ONE hand-derived
     # Pallas kernel (train/critic_kernel.py; measured 1.39x the hyperbolic
     # epoch on v5e). True = critics-only fusion. Numerically equivalent,
-    # not bitwise; single-device only
+    # not bitwise; single-device only. Sequential training only: at fleet
+    # scale (sweep) it measured ~9% SLOWER than the default step (vmapped
+    # XLA already batches all S signals into single kernels; PROFILE.md)
     "fused_critics": False,
     # "full" = reference parity (persist eucl_recons + gt_signal for
     # hyperbolic runs, anomaly_detection.py:116-131). "minimal" drops

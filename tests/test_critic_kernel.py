@@ -122,6 +122,68 @@ def test_full_megakernel_matches_autodiff(hyperbolic):
                 err_msg=f"{name}{jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.parametrize("ragged,variant", [
+    (False, "full"), (True, "full"), (False, True),
+])
+def test_fleet_fused_tracks_default(ragged, variant):
+    """The megakernel under jax.vmap (fleet trainer opt-in) stays on the
+    default fleet trajectory — equal-length and ragged streams, both kernel
+    variants. n_epochs=3 exercises BOTH builders (a 2-epoch
+    build_fleet_multi_epoch_fn scan chunk + a single-epoch chunk)."""
+    from hypad_tpu.train import fleet as fl
+
+    S, bs = 3, 16
+    lens = (96, 64, 80) if ragged else (96, 96, 96)
+    key = jax.random.PRNGKey(5)
+    with jax.default_device(jax.devices("cpu")[0]):
+        states = fl.stack_states([
+            tr.init_train_state(
+                init_tadgan(jax.random.PRNGKey(i), signal_shape=W,
+                            hyperbolic=True), lr=5e-4, hyperbolic=True)
+            for i in range(S)])
+        X = [np.asarray(jax.random.uniform(jax.random.fold_in(key, i),
+                                           (n, W), minval=-1.0, maxval=1.0),
+                        np.float32) for i, n in enumerate(lens)]
+
+    def run(fused):
+        st = jax.tree_util.tree_map(jnp.copy, states)
+        return fl.train_fleet(st, X, lr=5e-4, hyperbolic=True,
+                              batch_size=bs, n_epochs=3, seed=0,
+                              ragged=ragged or None,
+                              fused_critics=fused)
+
+    want = run(False)
+    got = run(variant)
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(got.params),
+            jax.tree_util.tree_leaves(want.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=3e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_fleet_multi_device_mesh_rejected():
+    """The fleet guard must fire at train_fleet ENTRY (before run-dir /
+    upload side effects), and in the builder."""
+    from hypad_tpu.parallel.mesh import make_mesh
+    from hypad_tpu.train import fleet as fl
+
+    mesh = make_mesh("all")
+    if mesh is None or mesh.devices.size <= 1:
+        pytest.skip("needs a multi-device mesh (conftest forces 8)")
+    with pytest.raises(ValueError, match="single-device"):
+        fl.build_fleet_epoch_fn(5e-4, True, 16, mesh=mesh,
+                                fused_critics="full")
+    states = fl.stack_states([
+        tr.init_train_state(init_tadgan(jax.random.PRNGKey(0),
+                                        signal_shape=W, hyperbolic=True),
+                            lr=5e-4, hyperbolic=True)])
+    with pytest.raises(ValueError, match="single-device"):
+        fl.train_fleet(states, [np.zeros((32, W), np.float32)], lr=5e-4,
+                       hyperbolic=True, batch_size=16, n_epochs=1,
+                       mesh=mesh, fused_critics="full")
+
+
 def test_multi_device_mesh_rejected():
     """The megakernel is single-device; a >1-device dp mesh must fail fast
     rather than silently compute unsharded."""
