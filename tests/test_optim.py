@@ -128,3 +128,4 @@ def test_update_is_jittable():
     params2, state2 = upd(g, state, params)
     assert int(state2.step) == 1
     assert float(jnp.linalg.norm(params2["hyperbolic_linear"]["b"])) < 1.0
+
